@@ -1,0 +1,41 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; JAX's host-platform device
+splitting lets the sharded solve paths (psum/all_gather over a Mesh) execute
+and be verified on one host (SURVEY.md §4 point 4).
+"""
+
+import os
+
+# must be set before jax import
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# this environment's sitecustomize may register a TPU tunnel backend and pin
+# jax_platforms to it, overriding the env var — force CPU after import too.
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+@pytest.fixture(scope="session")
+def cfg():
+    from sdf_nmpc_tpu.config import default_config
+
+    return default_config()
+
+
+@pytest.fixture(scope="session")
+def cfg_nosdf():
+    from sdf_nmpc_tpu.config import default_config
+
+    return default_config().replace(flags=dict(enable_sdf=False))
