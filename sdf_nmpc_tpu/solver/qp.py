@@ -1,0 +1,214 @@
+"""Batched condensed-QP solver: primal-dual interior point with analytic
+slack elimination (HPIPM's soft-constraint structure, TPU-batched).
+
+TPU-native replacement for FULL_CONDENSING_HPIPM (reference ocp.py:113-116;
+SURVEY.md §2.3 N2).  Design points driven by the hardware:
+
+  * fixed iteration budget, no early exit — every scenario in a vmapped batch
+    runs the same instruction stream; convergence is reported, not branched on
+  * the slack/dual blocks of the KKT system are diagonal per constraint row and
+    are eliminated in closed form each Newton step (exactly as HPIPM does), so
+    the only linear solve is one dense (nz, nz) Cholesky per iteration; over a
+    vmapped scenario batch these become batched GEMMs/Cholesky on the MXU
+
+Problem (one scenario; all of these come from the condensing stage):
+
+    min_{z,s}  0.5 z'Hz + g'z + sum_i z1_i (sl_i + su_i)
+                                + 0.5 z2_i (sl_i^2 + su_i^2)
+    s.t.  lh - sl <= c0 + C z <= uh + su,   sl, su >= 0,   lb <= z <= ub
+
+which is acados' slacked nonlinear-constraint QP after condensing
+(zl/Zl/zu/Zu semantics of reference ocp.py:85-92 with zu=zl, Zu=Zl).  Hard
+rows are represented with large (z1, z2) — see sdf_nmpc_tpu/ocp.py.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_BIG = 1e8  # stand-in for infinite bounds (keeps IEEE arithmetic finite)
+
+
+class QpData(NamedTuple):
+    """One condensed QP (add leading batch axes via vmap)."""
+
+    H: jax.Array  # (nz, nz) Hessian (PSD; includes LM regularization)
+    g: jax.Array  # (nz,)
+    C: jax.Array  # (nc, nz) general-constraint rows (may be nc=0)
+    c0: jax.Array  # (nc,) row values at z=0
+    lh: jax.Array  # (nc,) lower bounds
+    uh: jax.Array  # (nc,) upper bounds
+    z1: jax.Array  # (nc,) L1 slack penalty weights
+    z2: jax.Array  # (nc,) L2 slack penalty weights
+    lb: jax.Array  # (nz,) box lower
+    ub: jax.Array  # (nz,) box upper
+
+
+class QpResult(NamedTuple):
+    dz: jax.Array  # (nz,)
+    kkt_residual: jax.Array  # scalar inf-norm of primal stationarity
+    complementarity: jax.Array  # scalar final average complementarity
+
+
+def solve_qp(
+    qp: QpData,
+    iters: int = 18,
+    mu0: float = 0.1,
+    box_margin: float = 1e-6,
+    eps_min: float = 0.0,  # kept for call compatibility; unused
+) -> QpResult:
+    """Solve one condensed QP. vmap over a leading batch axis for scenarios."""
+    del eps_min
+    nz = qp.g.shape[0]
+    nc = qp.c0.shape[0]
+    dtype = qp.g.dtype
+    eye = jnp.eye(nz, dtype=dtype)
+
+    lh = jnp.maximum(qp.lh, -_BIG)
+    uh = jnp.minimum(qp.uh, _BIG)
+    z1 = qp.z1
+    z2 = qp.z2
+
+    width = qp.ub - qp.lb
+    dz = jnp.clip(
+        jnp.zeros(nz, dtype),
+        qp.lb + box_margin * (1 + width),
+        qp.ub - box_margin * (1 + width),
+    )
+    mu = jnp.asarray(mu0, dtype)
+    sigma = jnp.asarray(0.25, dtype)
+    tau = jnp.asarray(0.995, dtype)
+    # barrier floor: stops the homotopy once accuracy saturates for the dtype,
+    # keeping slack/dual divisions well away from underflow (NaN guard)
+    mu_min = jnp.asarray(1e3 * jnp.finfo(dtype).eps, dtype)
+    p_floor = mu_min * 1e-2
+
+    w0 = qp.c0 + qp.C @ dz
+    # strictly positive initialization of slacks and duals
+    sl = jnp.maximum(lh - w0, 0.0) + 0.1
+    su = jnp.maximum(w0 - uh, 0.0) + 0.1
+    tl = w0 + sl - lh  # > 0
+    tu = uh + su - w0  # > 0
+    lam_l = mu / tl
+    lam_u = mu / tu
+    gam_l = mu / sl
+    gam_u = mu / su
+    nu_l = mu / (dz - qp.lb)
+    nu_u = mu / (qp.ub - dz)
+
+    def _max_step(v, dv):
+        """Largest alpha with v + alpha*dv > 0 (elementwise min)."""
+        ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
+        return jnp.min(ratio) if ratio.size else jnp.asarray(jnp.inf, v.dtype)
+
+    def body(carry, _):
+        dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u, mu = carry
+
+        w = qp.c0 + qp.C @ dz
+        tl = w + sl - lh
+        tu = uh + su - w
+        bl = dz - qp.lb
+        bu = qp.ub - dz
+
+        # residuals of the KKT stationarity rows
+        r_z = qp.H @ dz + qp.g - qp.C.T @ (lam_l - lam_u) - nu_l + nu_u
+        r_sl = z1 + z2 * sl - lam_l - gam_l
+        r_su = z1 + z2 * su - lam_u - gam_u
+
+        # analytic elimination of (sl, lam_l, gam_l) per row:
+        #   d_l = z2 + lam_l/tl + gam_l/sl
+        #   Dlam_l = const_l - eta_l * Dw,  eta_l = (lam_l/tl)(z2 + gam_l/sl)/d_l
+        ql = lam_l / tl
+        qu = lam_u / tu
+        pl = gam_l / sl
+        pu = gam_u / su
+        d_l = z2 + ql + pl
+        d_u = z2 + qu + pu
+        a_l = mu / tl - lam_l
+        a_u = mu / tu - lam_u
+        b_l = -r_sl + a_l + mu / sl - gam_l
+        b_u = -r_su + a_u + mu / su - gam_u
+        eta_l = ql * (z2 + pl) / d_l
+        eta_u = qu * (z2 + pu) / d_u
+        const_l = a_l - ql * b_l / d_l
+        const_u = a_u - qu * b_u / d_u
+
+        diag_box = nu_l / bl + nu_u / bu
+        M = qp.H + (qp.C.T * (eta_l + eta_u)) @ qp.C + jnp.diag(diag_box)
+        rhs = (
+            -r_z
+            + qp.C.T @ (const_l - const_u)
+            + (mu / bl - nu_l)
+            - (mu / bu - nu_u)
+        )
+
+        L = jnp.linalg.cholesky(M + 1e-10 * eye)
+        ddz = jax.scipy.linalg.cho_solve((L, True), rhs)
+        dw = qp.C @ ddz
+
+        dsl = (b_l - ql * dw) / d_l
+        dsu = (b_u + qu * dw) / d_u
+        dlam_l = a_l - ql * (dw + dsl)
+        dlam_u = a_u - qu * (dsu - dw)
+        dgam_l = (mu - gam_l * sl) / sl - pl * dsl
+        dgam_u = (mu - gam_u * su) / su - pu * dsu
+        dnu_l = (mu - nu_l * bl) / bl - (nu_l / bl) * ddz
+        dnu_u = (mu - nu_u * bu) / bu + (nu_u / bu) * ddz
+
+        # fraction-to-boundary over every positive quantity
+        alpha = jnp.minimum(1.0, tau * jnp.minimum(
+            jnp.minimum(
+                jnp.minimum(_max_step(sl, dsl), _max_step(su, dsu)),
+                jnp.minimum(_max_step(tl, dw + dsl), _max_step(tu, dsu - dw)),
+            ),
+            jnp.minimum(
+                jnp.minimum(
+                    jnp.minimum(_max_step(lam_l, dlam_l), _max_step(lam_u, dlam_u)),
+                    jnp.minimum(_max_step(gam_l, dgam_l), _max_step(gam_u, dgam_u)),
+                ),
+                jnp.minimum(
+                    jnp.minimum(_max_step(nu_l, dnu_l), _max_step(nu_u, dnu_u)),
+                    jnp.minimum(_max_step(bl, ddz), _max_step(bu, -ddz)),
+                ),
+            ),
+        ))
+
+        dz = dz + alpha * ddz
+        sl = jnp.maximum(sl + alpha * dsl, p_floor)
+        su = jnp.maximum(su + alpha * dsu, p_floor)
+        lam_l = jnp.maximum(lam_l + alpha * dlam_l, 1e-14)
+        lam_u = jnp.maximum(lam_u + alpha * dlam_u, 1e-14)
+        gam_l = jnp.maximum(gam_l + alpha * dgam_l, 1e-14)
+        gam_u = jnp.maximum(gam_u + alpha * dgam_u, 1e-14)
+        nu_l = jnp.maximum(nu_l + alpha * dnu_l, 1e-14)
+        nu_u = jnp.maximum(nu_u + alpha * dnu_u, 1e-14)
+
+        w = qp.c0 + qp.C @ dz
+        n_terms = 2 * nz + 4 * nc if nc else 2 * nz
+        compl = (
+            jnp.dot(dz - qp.lb, nu_l)
+            + jnp.dot(qp.ub - dz, nu_u)
+            + (
+                jnp.dot(w + sl - lh, lam_l)
+                + jnp.dot(uh + su - w, lam_u)
+                + jnp.dot(sl, gam_l)
+                + jnp.dot(su, gam_u)
+                if nc
+                else 0.0
+            )
+        ) / n_terms
+        mu = jnp.maximum(sigma * compl, mu_min)
+        return (dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u, mu), None
+
+    carry0 = (dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u, mu)
+    (dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u, mu), _ = jax.lax.scan(
+        body, carry0, None, length=iters
+    )
+
+    stationarity = qp.H @ dz + qp.g - qp.C.T @ (lam_l - lam_u) - nu_l + nu_u
+    kkt = jnp.max(jnp.abs(stationarity))
+    compl = mu / sigma
+    return QpResult(dz=dz, kkt_residual=kkt, complementarity=compl)

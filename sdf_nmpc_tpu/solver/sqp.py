@@ -1,0 +1,293 @@
+"""SQP-RTI engine: linearize -> condense -> QP -> update, as one jitted program.
+
+TPU-native replacement for the acados SQP_RTI solver (reference ocp.py:109-120
+and the generated C of SURVEY.md §3.2): one Gauss-Newton iteration per control
+tick with Levenberg-Marquardt regularization, warm-started from the previous
+trajectory.  The three reference hot loops — ERK rollout+sensitivities, NLS
+residual/Jacobian with neural-SDF evaluations, condensing+QP — fuse here into
+a single XLA program, vmappable over a scenario axis.
+
+Structure per step (all shapes static):
+  1. per-node linearization (vmap + jacfwd over N nodes — no sequential
+     dependence; the reference does this as a serial C loop)
+  2. condensing scan over the horizon: dx_k = e_k + E_k·dz, a N-step lax.scan
+     of (nx,nz) matrices (the only sequential part, N=20)
+  3. condensed Hessian/gradient/constraint assembly via einsum (MXU work)
+  4. batched interior-point QP (solver/qp.py)
+  5. linear trajectory update + NaN guard -> per-scenario status
+
+Failure semantics: instead of the reference's try/except + fail counter
+(controller.py:72-81), a per-scenario integer status is computed inside the
+program; NaN steps leave the warm start untouched so batch members fail
+independently (SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ocp import OcpSpec
+from .integrator import erk4_with_sensitivities
+from .qp import QpData, QpResult, solve_qp
+
+STATUS_OK = 0
+STATUS_NAN = 1
+
+
+class SolverState(NamedTuple):
+    """Warm-start carry: the multiple-shooting trajectory iterate."""
+
+    X: jax.Array  # (N+1, nx)
+    U: jax.Array  # (N, nu)
+
+
+class SolveInputs(NamedTuple):
+    """Per-tick runtime data (the reference's yref/W/p marshalling loop,
+    ocp.py:162-168, becomes one pytree argument)."""
+
+    x0: jax.Array  # (nx,)
+    yref: jax.Array  # (N, ny)
+    W: jax.Array  # (N, ny) diagonal weights
+    yrefN: jax.Array  # (nyN,)
+    WN: jax.Array  # (nyN,)
+    p: jax.Array  # (N+1, np)
+
+
+class SolveResult(NamedTuple):
+    state: SolverState
+    u0: jax.Array  # (nu,)
+    status: jax.Array  # int32: 0 ok, 1 NaN-rejected
+    kkt_residual: jax.Array
+    qp_complementarity: jax.Array
+    evals: Optional[jax.Array]  # (N+1, neval) diagnostics or None
+
+
+def init_state(ocp: OcpSpec, x0, dtype=jnp.float32) -> SolverState:
+    """Fill all nodes with x0 / u_hover (reference ocp.py:144-149)."""
+    x0 = jnp.asarray(x0, dtype)
+    return SolverState(
+        X=jnp.tile(x0[None, :], (ocp.N + 1, 1)),
+        U=jnp.tile(jnp.asarray(ocp.u_hover, dtype)[None, :], (ocp.N, 1)),
+    )
+
+
+def shift_state(state: SolverState, k: int) -> SolverState:
+    """Shift-by-k warm start (reference ocp.py:152-156).  The vacated tail
+    nodes keep their previous values, matching the reference."""
+    if k <= 0:
+        return state
+    X, U = state.X, state.U
+    X = X.at[:-k].set(X[k:]) if k < X.shape[0] else X
+    U = U.at[:-k].set(U[k:]) if k < U.shape[0] else U
+    return SolverState(X=X, U=U)
+
+
+def _scatter_blocks(N: int, nu: int, dtype) -> np.ndarray:
+    """S[k]: (nu, N*nu) selection such that S[k] @ dz = du_k."""
+    S = np.zeros((N, nu, N * nu), dtype=dtype)
+    for k in range(N):
+        S[k, :, k * nu : (k + 1) * nu] = np.eye(nu)
+    return S
+
+
+def make_rti_step(ocp: OcpSpec, cfg):
+    """Build the single-scenario RTI step function.
+
+    Returns step(state, inputs) -> SolveResult.  Pure; jit/vmap it freely.
+    """
+    dtype = jnp.dtype(cfg.solver.dtype)
+    N, nx, nu = ocp.N, ocp.nx, ocp.nu
+    nz = N * nu
+    nh, nhN = ocp.nh, ocp.nhN
+
+    dt = jnp.asarray(ocp.dt, dtype)
+    scale = jnp.asarray(ocp.cost_scaling, dtype)  # (N+1,)
+    S = jnp.asarray(_scatter_blocks(N, nu, np.float32), dtype)  # (N, nu, nz)
+    lbu = jnp.asarray(ocp.lbu, dtype)
+    ubu = jnp.asarray(ocp.ubu, dtype)
+    lm = jnp.asarray(ocp.lm_reg, dtype)
+
+    lh = jnp.asarray(ocp.lh, dtype)
+    uh = jnp.asarray(ocp.uh, dtype)
+    zl = jnp.asarray(ocp.zl, dtype)
+    Zl = jnp.asarray(ocp.Zl, dtype)
+    lhN = jnp.asarray(ocp.lhN, dtype)
+    uhN = jnp.asarray(ocp.uhN, dtype)
+    zlN = jnp.asarray(ocp.zlN, dtype)
+    ZlN = jnp.asarray(ocp.ZlN, dtype)
+
+    f = ocp.model.f
+
+    def lin_node(x, u, p, dtk, yref_k):
+        """Everything the QP needs from one shooting node."""
+        x_next, A, B = erk4_with_sensitivities(f, x, u, dtk)
+
+        y_and_h = lambda xv, uv: (
+            ocp.y(xv, uv, p),
+            ocp.h_stage(xv, uv, p) if ocp.h_stage is not None else jnp.zeros(0, dtype),
+        )
+        (y_val, h_val) = y_and_h(x, u)
+        Jyx, Jhx = jax.jacfwd(y_and_h, argnums=0)(x, u)
+        Jyu, Jhu = jax.jacfwd(y_and_h, argnums=1)(x, u)
+        res = y_val - yref_k
+        return x_next, A, B, res, Jyx, Jyu, h_val, Jhx, Jhu
+
+    def step(state: SolverState, inp: SolveInputs) -> SolveResult:
+        X = jnp.asarray(state.X, dtype)
+        U = jnp.asarray(state.U, dtype)
+        x0 = jnp.asarray(inp.x0, dtype)
+        p = jnp.asarray(inp.p, dtype)
+        W = jnp.asarray(inp.W, dtype)
+        WN = jnp.asarray(inp.WN, dtype)
+
+        # ---- 1. per-node linearization (parallel over nodes) ----
+        x_next, A, B, res, Jyx, Jyu, h_val, Jhx, Jhu = jax.vmap(lin_node)(
+            X[:N], U, p[:N], dt, jnp.asarray(inp.yref, dtype)
+        )
+        defect = x_next - X[1:]  # (N, nx) multiple-shooting defects
+
+        yN_fn = lambda xv: ocp.yN(xv, p[N])
+        resN = yN_fn(X[N]) - jnp.asarray(inp.yrefN, dtype)
+        JxN = jax.jacfwd(yN_fn)(X[N])
+        if ocp.h_term is not None:
+            hN_fn = lambda xv: ocp.h_term(xv, p[N])
+            hN_val = hN_fn(X[N])
+            JhxN = jax.jacfwd(hN_fn)(X[N])
+        else:
+            hN_val = jnp.zeros(0, dtype)
+            JhxN = jnp.zeros((0, nx), dtype)
+
+        # ---- 2. condensing scan: dx_k = e_k + E_k dz ----
+        e0 = x0 - X[0]
+        E0 = jnp.zeros((nx, nz), dtype)
+
+        def scan_body(carry, xs):
+            e_k, E_k = carry
+            A_k, B_k, r_k, S_k = xs
+            e_next = A_k @ e_k + r_k
+            E_next = A_k @ E_k + B_k @ S_k
+            return (e_next, E_next), (e_k, E_k)
+
+        (eN, EN), (e_stage, E_stage) = jax.lax.scan(
+            scan_body, (e0, E0), (A, B, defect, S)
+        )
+
+        # ---- 3. condensed Hessian / gradient / constraints ----
+        G = jnp.einsum("kni,kiz->knz", Jyx, E_stage) + jnp.einsum(
+            "knu,kuz->knz", Jyu, S
+        )  # (N, ny, nz)
+        res_c = res + jnp.einsum("kni,ki->kn", Jyx, e_stage)  # residual at dz=0
+        Ws = W * scale[:N, None]
+        H = jnp.einsum("kna,kn,knb->ab", G, Ws, G)
+        g = jnp.einsum("kna,kn->a", G, Ws * res_c)
+
+        GN = JxN @ EN  # (nyN, nz)
+        resN_c = resN + JxN @ eN
+        H = H + jnp.einsum("na,n,nb->ab", GN, WN, GN)
+        g = g + GN.T @ (WN * resN_c)
+
+        # Levenberg-Marquardt: stage-wise lm*I on (x,u) blocks, condensed
+        E_all = jnp.concatenate([E_stage, EN[None]], axis=0)  # (N+1, nx, nz)
+        H = H + lm * (jnp.einsum("kia,kib->ab", E_all, E_all) + jnp.eye(nz, dtype=dtype))
+
+        # constraint rows
+        if nh > 0:
+            C_stage = jnp.einsum("kni,kiz->knz", Jhx, E_stage) + jnp.einsum(
+                "knu,kuz->knz", Jhu, S
+            )
+            c_stage = h_val + jnp.einsum("kni,ki->kn", Jhx, e_stage)
+            # slack penalties share the stage cost scaling (acados cost_scaling)
+            z1_stage = jnp.broadcast_to(zl, (N, nh)) * scale[:N, None]
+            z2_stage = jnp.broadcast_to(Zl, (N, nh)) * scale[:N, None]
+            C_rows = [C_stage.reshape(N * nh, nz)]
+            c_rows = [c_stage.reshape(N * nh)]
+            lh_rows = [jnp.tile(lh, N)]
+            uh_rows = [jnp.tile(uh, N)]
+            z1_rows = [z1_stage.reshape(N * nh)]
+            z2_rows = [z2_stage.reshape(N * nh)]
+        else:
+            C_rows, c_rows, lh_rows, uh_rows, z1_rows, z2_rows = [], [], [], [], [], []
+        if nhN > 0:
+            C_rows.append(JhxN @ EN)
+            c_rows.append(hN_val + JhxN @ eN)
+            lh_rows.append(lhN)
+            uh_rows.append(uhN)
+            z1_rows.append(zlN)
+            z2_rows.append(ZlN)
+
+        if C_rows:
+            C = jnp.concatenate(C_rows, axis=0)
+            c0 = jnp.concatenate(c_rows)
+            lh_all = jnp.concatenate(lh_rows)
+            uh_all = jnp.concatenate(uh_rows)
+            z1_all = jnp.concatenate(z1_rows)
+            z2_all = jnp.concatenate(z2_rows)
+        else:
+            C = jnp.zeros((0, nz), dtype)
+            c0 = jnp.zeros(0, dtype)
+            lh_all = uh_all = z1_all = z2_all = jnp.zeros(0, dtype)
+
+        # ---- 4. QP ----
+        qp = QpData(
+            H=H,
+            g=g,
+            C=C,
+            c0=c0,
+            lh=lh_all,
+            uh=uh_all,
+            z1=z1_all,
+            z2=z2_all,
+            lb=(lbu[None, :] - U).reshape(nz),
+            ub=(ubu[None, :] - U).reshape(nz),
+        )
+        qp_res: QpResult = solve_qp(
+            qp,
+            iters=int(cfg.solver.qp_iters),
+            mu0=float(cfg.solver.barrier_init),
+            box_margin=float(cfg.solver.box_margin),
+        )
+        dz = qp_res.dz
+
+        # ---- 5. linear trajectory update + NaN guard ----
+        dU = dz.reshape(N, nu)
+        dX = jnp.concatenate([e_stage, eN[None]], axis=0) + jnp.einsum(
+            "kiz,z->ki", E_all, dz
+        )
+        U_new = U + dU
+        X_new = X + dX
+
+        bad = jnp.logical_or(
+            jnp.any(~jnp.isfinite(U_new)), jnp.any(~jnp.isfinite(X_new))
+        )
+        status = jnp.where(bad, STATUS_NAN, STATUS_OK).astype(jnp.int32)
+        U_new = jnp.where(bad, U, U_new)
+        X_new = jnp.where(bad, X, X_new)
+
+        evals = None
+        if ocp.eval_fn is not None:
+            U_pad = jnp.concatenate([U_new, U_new[-1:]], axis=0)
+            evals = jax.vmap(ocp.eval_fn)(X_new, U_pad, p)
+
+        return SolveResult(
+            state=SolverState(X=X_new, U=U_new),
+            u0=U_new[0],
+            status=status,
+            kkt_residual=qp_res.kkt_residual,
+            qp_complementarity=qp_res.complementarity,
+            evals=evals,
+        )
+
+    def multi_step(state, inp):
+        """cfg.solver.sqp_iters Gauss-Newton iterations (1 = RTI)."""
+        n_iters = int(cfg.solver.sqp_iters)
+        result = step(state, inp)
+        for _ in range(n_iters - 1):
+            result = step(result.state, inp)
+        return result
+
+    return multi_step

@@ -19,6 +19,10 @@ import jax  # noqa: E402
 # jax_platforms to it, overriding the env var — force CPU after import too.
 jax.config.update("jax_platforms", "cpu")
 
+# f64 on the CPU test mesh: lets parity oracles (scipy direct-NLP solves) run at
+# full precision. The TPU path selects its own dtype via cfg.solver.dtype.
+jax.config.update("jax_enable_x64", True)
+
 import pytest  # noqa: E402
 
 import sys
