@@ -261,12 +261,15 @@ def polynomial_3variate(deg: int, coeffs=None):
     math.py:294-321 (which is defined twice verbatim there).
     """
     exps = polynomial_3variate_exponents(deg)
-    exps_j = jnp.asarray(exps, dtype=jnp.float32)
+    exps_j = jnp.asarray(exps)  # (n_terms, 3) int32
 
     def _eval(x, c):
         x = jnp.asarray(x)
-        # (..., 1, 3) ** (n_terms, 3) -> product over last axis -> (..., n_terms)
-        monomials = jnp.prod(x[..., None, :] ** exps_j, axis=-1)
+        # build the power table [x^0 .. x^deg] per coordinate and gather —
+        # avoids float-exponent pow (NaN for negative bases, bad gradients)
+        powers = jnp.stack([x**k for k in range(deg + 1)], axis=-2)  # (..., deg+1, 3)
+        coords = jnp.arange(3)
+        monomials = jnp.prod(powers[..., exps_j, coords], axis=-1)  # (..., n_terms)
         return monomials @ jnp.asarray(c)
 
     if coeffs is None:
