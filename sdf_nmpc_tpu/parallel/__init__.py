@@ -1,0 +1,11 @@
+"""Device-mesh parallelism for scenario-batched NMPC."""
+
+from .sharding import (
+    SCENARIO_AXIS,
+    BatchStats,
+    make_batched_step,
+    make_mesh,
+    replicate_inputs,
+    shard_batch,
+    stack_tree,
+)

@@ -85,6 +85,10 @@ def solve_qp(
     # keeping slack/dual divisions well away from underflow (NaN guard)
     mu_min = jnp.asarray(1e3 * jnp.finfo(dtype).eps, dtype)
     p_floor = mu_min * 1e-2
+    # cap on the per-row dual/slack ratios entering the Schur complement:
+    # active rows with large penalty duals otherwise drive the Newton matrix
+    # condition number past what the dtype can factorize (f32 especially)
+    ratio_cap = jnp.asarray(0.1 / jnp.finfo(dtype).eps, dtype)
 
     w0 = qp.c0 + qp.C @ dz
     # strictly positive initialization of slacks and duals
@@ -121,10 +125,10 @@ def solve_qp(
         # analytic elimination of (sl, lam_l, gam_l) per row:
         #   d_l = z2 + lam_l/tl + gam_l/sl
         #   Dlam_l = const_l - eta_l * Dw,  eta_l = (lam_l/tl)(z2 + gam_l/sl)/d_l
-        ql = lam_l / tl
-        qu = lam_u / tu
-        pl = gam_l / sl
-        pu = gam_u / su
+        ql = jnp.minimum(lam_l / tl, ratio_cap)
+        qu = jnp.minimum(lam_u / tu, ratio_cap)
+        pl = jnp.minimum(gam_l / sl, ratio_cap)
+        pu = jnp.minimum(gam_u / su, ratio_cap)
         d_l = z2 + ql + pl
         d_u = z2 + qu + pu
         a_l = mu / tl - lam_l
@@ -136,7 +140,7 @@ def solve_qp(
         const_l = a_l - ql * b_l / d_l
         const_u = a_u - qu * b_u / d_u
 
-        diag_box = nu_l / bl + nu_u / bu
+        diag_box = jnp.minimum(nu_l / bl, ratio_cap) + jnp.minimum(nu_u / bu, ratio_cap)
         M = qp.H + (qp.C.T * (eta_l + eta_u)) @ qp.C + jnp.diag(diag_box)
         rhs = (
             -r_z
@@ -145,8 +149,12 @@ def solve_qp(
             - (mu / bu - nu_u)
         )
 
-        L = jnp.linalg.cholesky(M + 1e-10 * eye)
+        # jitter scaled to the matrix and dtype so f32 factorizations stay PD
+        jitter = 10 * jnp.finfo(dtype).eps * (1.0 + jnp.max(jnp.diag(M)))
+        L = jnp.linalg.cholesky(M + jitter * eye)
         ddz = jax.scipy.linalg.cho_solve((L, True), rhs)
+        # NaN guard: a failed factorization poisons ddz; take a null step then
+        ddz = jnp.where(jnp.all(jnp.isfinite(ddz)), ddz, jnp.zeros_like(ddz))
         dw = qp.C @ ddz
 
         dsl = (b_l - ql * dw) / d_l
