@@ -34,7 +34,7 @@ def main():
     rhs = rng.normal(size=(B, n)).astype(np.float32)
     Mj, bj = jnp.asarray(M), jnp.asarray(rhs)
 
-    x_ref = np.linalg.solve(M.astype(np.float64), rhs.astype(np.float64))
+    x_ref = np.linalg.solve(M.astype(np.float64), rhs.astype(np.float64)[..., None])[..., 0]
 
     def report(name, t, x):
         err = np.abs(np.asarray(x) - x_ref).max()

@@ -156,6 +156,11 @@ def build_ocp(
     sdf_max_df: float = 1.0,
     bdist_coeffs: Optional[np.ndarray] = None,
     r_tilde: Optional[float] = None,
+    extra_cost_stage: Sequence = (),
+    extra_cost_term: Sequence = (),
+    extra_const_stage: Sequence = (),
+    extra_const_term: Sequence = (),
+    extra_eval: Sequence = (),
 ) -> OcpSpec:
     """Assemble the OCP from config.
 
@@ -167,6 +172,12 @@ def build_ocp(
                     (required when cfg.flags.recursive_feasibility).
     r_tilde      -- stability terminal-cost constant; computed from cfg via
                     theory.stability if None and needed.
+    extra_*      -- user extension rows (the reference BaseModel add-hook
+                    equivalents, base_model.py:119-168; see constraints.py for
+                    ready-made builders):
+                      cost rows:  (fn, weight)
+                      const rows: (fn, lower, upper, z1, z2)
+                      eval rows:  (name, fn)
     """
     model = make_model(cfg)
     layout = ParamLayout.from_cfg(cfg)
@@ -332,6 +343,17 @@ def build_ocp(
                     lambda x, p: layout.get_flag(p) * jnp.dot(x[7:], x[7:])
                 )
                 cost_w_term.append(float(p_term))
+
+    # ---- user extension rows (reference add_cost/const hooks) ----
+    for fn, w in extra_cost_stage:
+        cost_rows_stage.append(fn)
+        cost_w_stage.append(float(w))
+    for fn, w in extra_cost_term:
+        cost_rows_term.append(fn)
+        cost_w_term.append(float(w))
+    h_rows_stage.extend(extra_const_stage)
+    h_rows_term.extend(extra_const_term)
+    eval_rows.extend(extra_eval)
 
     # ---- compose residuals ----
     extra_W_stage = np.asarray(cost_w_stage, dtype=np.float64)

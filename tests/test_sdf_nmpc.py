@@ -28,7 +28,7 @@ def sdf_setup():
     from sdf_nmpc_tpu.config import default_config
 
     cfg = default_config().replace(
-        nn=dict(size_latent=LAT), solver=dict(dtype="float64", qp_iters=25)
+        nn=dict(size_latent=LAT), solver=dict(dtype="float64", qp_iters=12)
     )
     module, params = init_neural_df(size_latent=LAT, layer_sizes=(32, 32, 32, 32), seed=3)
     sdf_fn = make_sdf_fn(module, params)

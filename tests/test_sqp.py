@@ -26,7 +26,7 @@ from sdf_nmpc_tpu.solver.integrator import erk4
 
 
 def f64_cfg(cfg_nosdf, lm=None):
-    c = cfg_nosdf.replace(solver=dict(dtype="float64", qp_iters=30))
+    c = cfg_nosdf.replace(solver=dict(dtype="float64", qp_iters=15))
     # the fixed point of the SQP iteration is independent of the LM damping;
     # a small LM lets the to-convergence parity tests converge quadratically
     # (the reference's lm_reg=10 matches acados per-tick RTI behavior instead)
