@@ -1,6 +1,7 @@
 """Device-mesh parallelism for scenario-batched NMPC."""
 
 from .sharding import (
+    initialize_multihost,
     SCENARIO_AXIS,
     BatchStats,
     make_batched_step,

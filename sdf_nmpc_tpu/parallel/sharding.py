@@ -37,6 +37,29 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (SCENARIO_AXIS,))
 
 
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> Mesh:
+    """Join the JAX distributed runtime and return the global scenario mesh.
+
+    Call once per host before building solvers.  With no arguments, relies on
+    the cluster environment (TPU pod metadata / SLURM) for auto-detection —
+    the standard `jax.distributed.initialize` path (SURVEY.md §5.8).  The
+    returned mesh spans ALL devices in the job; scenario sharding over it is
+    embarrassingly parallel, with stats reductions riding ICI within a slice
+    and DCN across hosts.
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+    return make_mesh()
+
+
 class BatchStats(NamedTuple):
     n_ok: jax.Array  # scalar: scenarios with OK status
     n_failed: jax.Array
