@@ -98,9 +98,21 @@ class Nmpc:
         self.p[:, self.layout.latent_start :] = 0.0
 
     # -------------------------------------------------------------- iteration
-    def set_x0(self, x0):
+    def set_x0(self, x0, position_safe: bool = True):
         """State feedback; first call seeds the warm start
-        (reference controller.py:65-70)."""
+        (reference controller.py:65-70).
+
+        With cfg.mpc.allow_dead_reck and ``position_safe=False``, the
+        measurement update is skipped and the controller dead-reckons on its
+        predicted state (reference config ``allow_dead_reck``,
+        default.yaml:62)."""
+        if (
+            self.cfg.mpc.allow_dead_reck
+            and not position_safe
+            and self.x0 is not None
+        ):
+            self.x0 = np.asarray(self._solver_state.X[1])  # predicted next state
+            return
         x0 = np.asarray(x0, dtype=float)[: self.ocp.nx]
         if self.x0 is None:
             self._solver_state = init_state(self.ocp, x0, self._dtype)

@@ -19,6 +19,7 @@ import numpy as np
 import optax
 
 from ..data.losses import loss_kld, loss_mse_valid_pixels, loss_mse_valid_pixels_bias_pos_dist
+from ..nn.initializers import apply_conv_init
 from ..nn.vae import Vae, sample_latent
 from .checkpoints import load_checkpoint, save_checkpoint
 
@@ -64,6 +65,8 @@ def train_vae(train_ds, valid_ds, metadata, out_dir, cfg: VaeTrainConfig = VaeTr
     )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    key, kconv = jax.random.split(key)
+    params = apply_conv_init(params, kconv)  # xavier convs (layer_init.py:5-12)
 
     tx = optax.inject_hyperparams(optax.adamw)(
         learning_rate=cfg.lr_start, weight_decay=cfg.weight_decay

@@ -88,3 +88,50 @@ def test_sharded_batch_on_mesh(cfg_nosdf):
     # determinism: same sharded inputs -> bitwise identical outputs
     results2, _ = batched(states, inputs)
     np.testing.assert_array_equal(np.asarray(results.u0), np.asarray(results2.u0))
+
+
+def test_dead_reckoning_gate(cfg_nosdf):
+    """allow_dead_reck: unsafe measurements are replaced by the prediction
+    (reference config allow_dead_reck, default.yaml:62)."""
+    cfg = cfg_nosdf.replace(
+        solver=dict(dtype="float64"), mpc=dict(allow_dead_reck=True)
+    )
+    nmpc = Nmpc(cfg)
+    x0 = hover_x0()
+    nmpc.set_x0(x0)
+    gen = RefGen(cfg)
+    gen.set_x0(x0)
+    nmpc.set_refs(gen.gen_ref_list_wps([Waypoint([1.0, 0.0, 0.0])]))
+    nmpc.solve()
+    predicted = np.asarray(nmpc._solver_state.X[1]).copy()
+    bogus = x0 + 100.0
+    nmpc.set_x0(bogus, position_safe=False)
+    np.testing.assert_allclose(nmpc.x0, predicted)
+    nmpc.set_x0(bogus, position_safe=True)
+    np.testing.assert_allclose(nmpc.x0, bogus)
+
+
+def test_conv_init_xavier():
+    import jax
+    import jax.numpy as jnp
+
+    from sdf_nmpc_tpu.nn import Encoder
+    from sdf_nmpc_tpu.nn.initializers import apply_conv_init
+
+    enc = Encoder(1, 8, dropout_rate=0.0, batchnorm=False)
+    variables = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 48, 1)))
+    new_params = apply_conv_init(variables["params"], jax.random.PRNGKey(1))
+    k_old = np.asarray(variables["params"]["Conv_0"]["kernel"])
+    k_new = np.asarray(new_params["Conv_0"]["kernel"])
+    assert not np.allclose(k_old, k_new)
+    # xavier uniform bound: sqrt(6 / (fan_in + fan_out))
+    fan_in = 7 * 7 * 1
+    fan_out = 7 * 7 * 64
+    bound = np.sqrt(6.0 / (fan_in + fan_out))
+    assert np.abs(k_new).max() <= bound * 1.0001
+    np.testing.assert_allclose(np.asarray(new_params["Conv_0"]["bias"]), 0.0)
+    # dense heads untouched
+    np.testing.assert_allclose(
+        np.asarray(new_params["mean"]["kernel"]),
+        np.asarray(variables["params"]["mean"]["kernel"]),
+    )
