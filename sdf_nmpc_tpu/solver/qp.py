@@ -34,6 +34,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .linalg import spd_factor_batched, spd_factor_solve
+
 _BIG = 1e8  # stand-in for infinite bounds (keeps IEEE arithmetic finite)
 
 
@@ -64,10 +66,20 @@ def solve_qp(
     mu0: float = 0.1,
     box_margin: float = 1e-6,
     eps_min: float = 0.0,  # kept for call compatibility; unused
+    chol_impl: str = "auto",
 ) -> QpResult:
     """Solve one condensed QP (`iters` predictor-corrector iterations).
-    vmap over a leading batch axis for scenarios."""
+    vmap over a leading batch axis for scenarios.
+
+    chol_impl: 'custom' (batch-first blocked factorization, solver/linalg.py),
+    'xla' (jnp.linalg), or 'auto' (custom on TPU — where XLA's batched
+    Cholesky measured 72% of the whole RTI step — XLA elsewhere, where its
+    factorization is fine and the unrolled custom path only inflates compile
+    time)."""
     del eps_min
+    if chol_impl == "auto":
+        chol_impl = "custom" if jax.default_backend() == "tpu" else "xla"
+    use_custom = chol_impl == "custom" 
     nz = qp.g.shape[0]
     nc = qp.c0.shape[0]
     dtype = qp.g.dtype
@@ -151,7 +163,10 @@ def solve_qp(
 
         M = qp.H + (qp.C.T * (eta_l + eta_u)) @ qp.C + jnp.diag(rbl + rbu)
         jitter = 10 * jnp.finfo(dtype).eps * (1.0 + jnp.max(jnp.diag(M)))
-        L = jnp.linalg.cholesky(M + jitter * eye)
+        if use_custom:
+            L, n_orig = spd_factor_batched(M + jitter * eye)
+        else:
+            L, n_orig = jnp.linalg.cholesky(M + jitter * eye), nz
 
         def direction(m_tl, m_tu, m_sl, m_su, m_bl, m_bu):
             """Newton direction for given per-pair complementarity targets.
@@ -168,7 +183,10 @@ def solve_qp(
                 + (m_bl / bl - nu_l)
                 - (m_bu / bu - nu_u)
             )
-            ddz = jax.scipy.linalg.cho_solve((L, True), rhs)
+            if use_custom:
+                ddz = spd_factor_solve(L, n_orig, rhs)
+            else:
+                ddz = jax.scipy.linalg.cho_solve((L, True), rhs)
             ddz = jnp.where(jnp.all(jnp.isfinite(ddz)), ddz, jnp.zeros_like(ddz))
             dw = qp.C @ ddz
             dsl = (b_l - ql * dw) / d_l

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
+from pathlib import Path
 from typing import Optional, Sequence
 
 import jax
@@ -30,6 +31,7 @@ from ..data.pos_sampler import PosSampler
 from ..nn.neural_df import NeuralDF
 from ..nn.vae import Encoder, sample_latent
 from .checkpoints import load_checkpoint, save_checkpoint
+from .metrics import MetricsWriter, df_loss_scalars
 
 
 @dataclasses.dataclass
@@ -154,6 +156,9 @@ def train_df(
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state
 
+    tsb_train = MetricsWriter(Path(out_dir) / "train")
+    tsb_valid = MetricsWriter(Path(out_dir) / "valid")
+
     history = []
     for epoch in range(restart_from_epoch, cfg.nb_epochs):
         tic = time.time()
@@ -191,6 +196,9 @@ def train_df(
                 n_valid += 1
             agg_valid /= max(n_valid, 1)
 
+        tsb_train.add_scalars(df_loss_scalars(agg_train), epoch)
+        if n_valid:
+            tsb_valid.add_scalars(df_loss_scalars(agg_valid), epoch)
         save_checkpoint(out_dir, params, opt_state, epoch, extra={"lr": lr})
         rec = {
             "epoch": epoch, "lr": lr, "time": time.time() - tic,

@@ -22,6 +22,7 @@ from ..data.losses import loss_kld, loss_mse_valid_pixels, loss_mse_valid_pixels
 from ..nn.initializers import apply_conv_init
 from ..nn.vae import Vae, sample_latent
 from .checkpoints import load_checkpoint, save_checkpoint
+from .metrics import MetricsWriter
 
 
 @dataclasses.dataclass
@@ -131,6 +132,11 @@ def train_vae(train_ds, valid_ds, metadata, out_dir, cfg: VaeTrainConfig = VaeTr
             x = x[:, None]
         return jnp.transpose(x, (0, 2, 3, 1))
 
+    from pathlib import Path
+
+    tsb_train = MetricsWriter(Path(out_dir) / "train")
+    tsb_valid = MetricsWriter(Path(out_dir) / "valid")
+
     history = []
     for epoch in range(restart_from_epoch, cfg.nb_epochs):
         tic = time.time()
@@ -155,6 +161,9 @@ def train_vae(train_ds, valid_ds, metadata, out_dir, cfg: VaeTrainConfig = VaeTr
                 nb_v += 1
             agg_v /= max(nb_v, 1)
 
+        tsb_train.add_scalars({"loss/regression": agg_t[0], "loss/kld": agg_t[1]}, epoch)
+        if nb_v:
+            tsb_valid.add_scalars({"loss/regression": agg_v[0], "loss/kld": agg_v[1]}, epoch)
         save_checkpoint(out_dir, params, opt_state, epoch, extra={"lr": lr})
         rec = {"epoch": epoch, "lr": lr, "time": time.time() - tic,
                "train": agg_t.tolist(), "valid": agg_v.tolist()}
