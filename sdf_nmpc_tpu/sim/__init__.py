@@ -1,0 +1,4 @@
+"""Batched closed-loop simulation with analytic SDF scenes."""
+
+from .closed_loop import ClosedLoopResult, make_closed_loop, summarize
+from .scenes import Scene, make_scene_sdf_fn, render_range_image, scene_sdf

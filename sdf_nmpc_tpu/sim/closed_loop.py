@@ -1,0 +1,98 @@
+"""Batched closed-loop simulation: controller-in-the-loop rollouts on device.
+
+The reference's closed-loop validation runs one robot in external Gazebo
+worlds (SURVEY.md §4).  Here the whole loop — RTI solve, command map, plant
+integration, reference update, collision monitoring — is one ``lax.scan``
+over control ticks, vmappable over thousands of (scenario, scene) pairs: a
+batched Monte-Carlo evaluation harness the reference has no analogue of.
+
+Plant model = the prediction model integrated with erk4 at the control period
+(optionally with parameter perturbations / input disturbance via hooks).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ocp import OcpSpec
+from ..solver import SolveInputs, SolverState, init_state, make_rti_step
+from ..solver.integrator import erk4
+
+
+class ClosedLoopResult(NamedTuple):
+    xs: jax.Array  # (T+1, nx) state trajectory
+    us: jax.Array  # (T, nu) applied inputs
+    statuses: jax.Array  # (T,) solver statuses
+    min_clearance: jax.Array  # scalar: min scene SDF along the trajectory
+    tracking_error: jax.Array  # scalar: final position error to the target
+
+
+def make_closed_loop(
+    ocp: OcpSpec,
+    cfg,
+    n_ticks: int,
+    scene_sdf_fn: Optional[Callable] = None,
+    disturbance_fn: Optional[Callable] = None,
+):
+    """Build rollout(x0, inputs) -> ClosedLoopResult (pure; jit/vmap freely).
+
+    inputs        -- SolveInputs held fixed over the rollout (frozen latent /
+                     reference), as in the reference's frozen-observation
+                     regime between images.
+    scene_sdf_fn  -- optional world-frame oracle p3 -> signed distance, for
+                     clearance monitoring.
+    disturbance_fn-- optional (tick, x, u) -> xdot perturbation added to the
+                     plant dynamics.
+    """
+    step = make_rti_step(ocp, cfg)
+    dt_ctrl = cfg.mpc.T / cfg.mpc.N
+    f = ocp.model.f
+
+    def plant(x, u, k):
+        if disturbance_fn is None:
+            return erk4(f, x, u, dt_ctrl)
+        return erk4(lambda xv, uv: f(xv, uv) + disturbance_fn(k, xv, uv), x, u, dt_ctrl)
+
+    def rollout(x0, inputs: SolveInputs) -> ClosedLoopResult:
+        x0 = jnp.asarray(x0, inputs.x0.dtype)
+        st0 = init_state(ocp, x0, x0.dtype)
+
+        def tick(carry, k):
+            x, st = carry
+            res = step(st, inputs._replace(x0=x))
+            u = res.u0
+            x_next = plant(x, u, k)
+            clear = (
+                scene_sdf_fn(x_next[:3]) if scene_sdf_fn is not None else jnp.inf
+            )
+            return (x_next, res.state), (x_next, u, res.status, clear)
+
+        (xT, _), (xs, us, statuses, clears) = jax.lax.scan(
+            tick, (x0, st0), jnp.arange(n_ticks)
+        )
+        xs = jnp.concatenate([x0[None], xs], axis=0)
+        target = inputs.yref[-1, :3]  # final reference position
+        return ClosedLoopResult(
+            xs=xs,
+            us=us,
+            statuses=statuses,
+            min_clearance=jnp.min(clears),
+            tracking_error=jnp.linalg.norm(xT[:3] - target),
+        )
+
+    return rollout
+
+
+def summarize(results: ClosedLoopResult) -> dict:
+    """Batch-level aggregates (vmapped ClosedLoopResult)."""
+    return {
+        "n": int(np.asarray(results.tracking_error).size),
+        "success_rate": float(np.mean(np.asarray(results.statuses == 0).all(axis=-1))),
+        "mean_tracking_error": float(np.mean(np.asarray(results.tracking_error))),
+        "worst_clearance": float(np.min(np.asarray(results.min_clearance))),
+        "collision_rate": float(np.mean(np.asarray(results.min_clearance) < 0.0)),
+    }

@@ -35,7 +35,7 @@ def sdf_setup():
     return cfg, sdf_fn
 
 
-def build_inputs(cfg, ocp, x0, flag=1.0, latent=None):
+def build_inputs(cfg, ocp, x0, flag=1.0, latent=None, ref_v=None, constrained_weights=None):
     layout = ParamLayout.from_cfg(cfg)
     N = ocp.N
     p = np.zeros((N + 1, layout.np_total))
@@ -44,8 +44,11 @@ def build_inputs(cfg, ocp, x0, flag=1.0, latent=None):
     layout.set_q_d(p, [1, 0, 0, 0])
     if latent is not None:
         layout.set_latent(p, latent)
-    ref = Ref(cfg).use_constrained_weights(bool(flag))
+    cw = bool(flag) if constrained_weights is None else constrained_weights
+    ref = Ref(cfg).use_constrained_weights(cw)
     ref.p = np.array([2.0, 0.0, 0.0])
+    if ref_v is not None:
+        ref.v = np.asarray(ref_v, dtype=float)
     yr, W = ocp.pack_ref(ref)
     return SolveInputs(
         x0=jnp.asarray(x0),
