@@ -97,6 +97,17 @@ class OcpSpec:
     u_hover: np.ndarray
     lm_reg: float
     cost_scaling: np.ndarray  # (N+1,): acados default = [dt_0..dt_{N-1}, 1]
+    # specialized neural-SDF stage row (analytic Jacobian fast path):
+    #   sdf_stage_idx  -- index of the sdf row among the stage h rows, or None
+    #   sdf_row_batch  -- (X (K, nx), P (K, np)) -> (h (K,), dh/dx[:3] (K, 3))
+    #                     for all K nodes in ONE batched call (the natural
+    #                     insertion point for ops/sdf_fused.py)
+    #   h_stage_cheap  -- composed stage rows EXCLUDING the sdf row (or None)
+    #   cheap_stage_indices -- their positions among the nh stage rows
+    sdf_stage_idx: Optional[int] = None
+    sdf_row_batch: Optional[Callable] = None
+    h_stage_cheap: Optional[Callable] = None
+    cheap_stage_indices: tuple = ()
 
     @property
     def nx(self):
@@ -161,6 +172,7 @@ def build_ocp(
     extra_const_stage: Sequence = (),
     extra_const_term: Sequence = (),
     extra_eval: Sequence = (),
+    sdf_value_grad_batch: Optional[Callable] = None,
 ) -> OcpSpec:
     """Assemble the OCP from config.
 
@@ -178,6 +190,10 @@ def build_ocp(
                       cost rows:  (fn, weight)
                       const rows: (fn, lower, upper, z1, z2)
                       eval rows:  (name, fn)
+    sdf_value_grad_batch -- optional batched (pos (K,3), latent (K,L)) ->
+                    (vals (K,), grads (K,3)) implementation for the sdf
+                    constraint row (e.g. the Pallas kernel from ops/);
+                    defaults to vmapped jax.value_and_grad of sdf_fn.
     """
     model = make_model(cfg)
     layout = ParamLayout.from_cfg(cfg)
@@ -248,8 +264,10 @@ def build_ocp(
             cost_rows_stage.append(lambda x, u, p: (1 - 0.5 * sdf_flagged(x, p)) ** 4)
             cost_w_stage.append(20.0)
 
+        sdf_stage_idx = None
         if cfg.flags.sdf_constraint:
             df_z1, df_z2 = _slack_or_hard(cfg, cfg.mpc.weights.slack_df)
+            sdf_stage_idx = len(h_rows_stage)
             h_rows_stage.append(
                 (lambda x, u, p: sdf_flagged(x, p), sdf_bounds[0], sdf_bounds[1], df_z1, df_z2)
             )
@@ -408,6 +426,43 @@ def build_ocp(
         def eval_fn(x, u, p):  # noqa: F811
             return jnp.stack([fn(x, u, p) for _, fn in eval_rows])
 
+    ## specialized sdf stage row: the MLP's position gradient is computed once
+    ## per node by a batched value+grad call and chained analytically
+    ## (dpos/dx[:3] = W_R_Co^T  =>  dh/dx[:3] = flag * W_R_Co @ grad_pos),
+    ## instead of differentiating the whole constraint stack through the MLP
+    sdf_row_batch = None
+    h_stage_cheap = None
+    cheap_stage_indices = ()
+    if cfg.flags.enable_sdf and cfg.flags.sdf_constraint and not cfg.flags.sdf_cost:
+        import jax as _jax
+
+        vg = sdf_value_grad_batch
+        if vg is None:
+            _scalar_vg = _jax.value_and_grad(sdf_fn, argnums=0)
+
+            def vg(pos, latent):  # noqa: F811
+                vals, grads = _jax.vmap(_scalar_vg)(pos, latent)
+                return vals, grads
+
+        def sdf_row_batch(X, P):  # noqa: F811
+            W_R = _jax.vmap(layout.get_W_R_Co)(P)  # (K, 3, 3)
+            W_p = _jax.vmap(layout.get_W_p_Co)(P)
+            pos = jnp.einsum("kij,ki->kj", W_R, X[:, :3] - W_p)  # R^T (x - c)
+            latents = _jax.vmap(layout.get_latent)(P)
+            vals, grads = vg(pos, latents)
+            flag = P[:, layout.flag]
+            h = flag * vals + (1 - flag) * sdf_max_df
+            dhdx3 = flag[:, None] * jnp.einsum("kij,kj->ki", W_R, grads)
+            return h, dhdx3
+
+        cheap_rows = [r for i, r in enumerate(h_rows_stage) if i != sdf_stage_idx]
+        cheap_stage_indices = tuple(
+            i for i in range(len(h_rows_stage)) if i != sdf_stage_idx
+        )
+        h_stage_cheap = _compose_h(cheap_rows, with_u=True)
+    else:
+        sdf_stage_idx = None
+
     return OcpSpec(
         model=model,
         layout=layout,
@@ -433,6 +488,10 @@ def build_ocp(
         ZlN=ZlN,
         eval_fn=eval_fn,
         eval_names=tuple(name for name, _ in eval_rows),
+        sdf_stage_idx=sdf_stage_idx,
+        sdf_row_batch=sdf_row_batch,
+        h_stage_cheap=h_stage_cheap,
+        cheap_stage_indices=cheap_stage_indices,
         lbu=model.lbu,
         ubu=model.ubu,
         u_hover=model.u_hover,

@@ -96,6 +96,23 @@ def _solve_small_lower(Ld, b, nb: int):
     return jnp.stack(ys, axis=-1)
 
 
+def _inv_lower_small(Ld, nb: int):
+    """Explicit inverse of (B, nb, nb) lower-triangular blocks.
+
+    Forward substitution on the identity, vectorized over batch AND the nb
+    right-hand sides — one-time cost at factorization so every subsequent
+    solve is a pure matvec instead of a scalar substitution chain."""
+    eye = jnp.eye(nb, dtype=Ld.dtype)
+    cols = []  # row i of the inverse, all rhs at once: (..., nb)
+    rows = []
+    for i in range(nb):
+        acc = jnp.broadcast_to(eye[i], Ld.shape[:-2] + (nb,))
+        for j in range(i):
+            acc = acc - Ld[..., i, j][..., None] * rows[j]
+        rows.append(acc / Ld[..., i, i][..., None])
+    return jnp.stack(rows, axis=-2)  # (..., nb, nb) lower-triangular inverse
+
+
 def _solve_small_upper_t(Ld, b, nb: int):
     """x with Ld^T x = b (back substitution)."""
     xs = [None] * nb
@@ -107,8 +124,25 @@ def _solve_small_upper_t(Ld, b, nb: int):
     return jnp.stack(xs, axis=-1)
 
 
-def cho_solve_batched(L, rhs, nb: int = 16):
-    """Solve M x = rhs given L = cholesky_batched(M).  L (B, n, n), rhs (B, n)."""
+def diag_block_inverses(L, nb: int = 16):
+    """(..., nblk, nb, nb) inverses of the diagonal blocks of L."""
+    n = L.shape[-1]
+    nblk = n // nb
+    return jnp.stack(
+        [
+            _inv_lower_small(L[..., k * nb : (k + 1) * nb, k * nb : (k + 1) * nb], nb)
+            for k in range(nblk)
+        ],
+        axis=-3,
+    )
+
+
+def cho_solve_batched(L, rhs, nb: int = 16, Linv=None):
+    """Solve M x = rhs given L = cholesky_batched(M).  L (B, n, n), rhs (B, n).
+
+    With ``Linv`` (diag_block_inverses(L)) each diagonal-block substitution is
+    a matvec — no scalar recursion in the solve at all (the win when one
+    factorization serves several right-hand sides, as in the Mehrotra IP)."""
     n = L.shape[-1]
     nblk = n // nb
 
@@ -121,7 +155,10 @@ def cho_solve_batched(L, rhs, nb: int = 16):
             b = b - jnp.einsum(
                 "...ij,...j->...i", L[..., r0 : r0 + nb, m_idx * nb : (m_idx + 1) * nb], ys[m_idx]
             )
-        ys.append(_solve_small_lower(L[..., r0 : r0 + nb, r0 : r0 + nb], b, nb))
+        if Linv is not None:
+            ys.append(jnp.einsum("...ij,...j->...i", Linv[..., k, :, :], b))
+        else:
+            ys.append(_solve_small_lower(L[..., r0 : r0 + nb, r0 : r0 + nb], b, nb))
     y = jnp.concatenate(ys, axis=-1)
 
     # backward: L^T x = y, block rows in reverse
@@ -134,7 +171,10 @@ def cho_solve_batched(L, rhs, nb: int = 16):
             b = b - jnp.einsum(
                 "...ji,...j->...i", L[..., m_idx * nb : (m_idx + 1) * nb, r0 : r0 + nb], xs[m_idx]
             )
-        xs[k] = _solve_small_upper_t(L[..., r0 : r0 + nb, r0 : r0 + nb], b, nb)
+        if Linv is not None:
+            xs[k] = jnp.einsum("...ji,...j->...i", Linv[..., k, :, :], b)
+        else:
+            xs[k] = _solve_small_upper_t(L[..., r0 : r0 + nb, r0 : r0 + nb], b, nb)
     return jnp.concatenate(xs, axis=-1)
 
 
@@ -153,18 +193,22 @@ def spd_solve_batched(M, rhs, nb: int = 16):
     """x = M^-1 rhs for SPD M (..., n, n), rhs (..., n).
 
     Pads n up to a multiple of nb with an identity tail (inert)."""
-    L, n = spd_factor_batched(M, nb)
-    return spd_factor_solve(L, n, rhs, nb)
+    factor, n = spd_factor_batched(M, nb)
+    return spd_factor_solve(factor, n, rhs, nb)
 
 
 def spd_factor_batched(M, nb: int = 16):
-    """(L, n_orig) with padding folded in; pair with spd_factor_solve."""
+    """((L, Linv_blocks), n_orig) with padding folded in; pair with
+    spd_factor_solve.  The diagonal-block inverses amortize across the
+    multiple solves per factorization in the Mehrotra IP."""
     Mp, n = _pad_spd(M, nb)
-    return cholesky_batched(Mp, nb), n
+    L = cholesky_batched(Mp, nb)
+    return (L, diag_block_inverses(L, nb)), n
 
 
-def spd_factor_solve(L, n_orig: int, rhs, nb: int = 16):
+def spd_factor_solve(factor, n_orig: int, rhs, nb: int = 16):
+    L, Linv = factor
     n_pad = L.shape[-1]
     if n_pad != n_orig:
         rhs = jnp.zeros(rhs.shape[:-1] + (n_pad,), rhs.dtype).at[..., :n_orig].set(rhs)
-    return cho_solve_batched(L, rhs, nb)[..., :n_orig]
+    return cho_solve_batched(L, rhs, nb, Linv=Linv)[..., :n_orig]

@@ -127,9 +127,16 @@ def make_rti_step(ocp: OcpSpec, cfg):
     # few rows (nh ~ 3) but 14 input dims — reverse mode traverses the MLP
     # nh times instead of nx+nu times (roughly 2x fewer MLP FLOPs per node).
     h_rev = nh > 0 and nh < (nx + nu) // 2
+    # fast path: the sdf row's Jacobian is analytic (batched value+grad of the
+    # MLP chained through the camera transform, ocp.sdf_row_batch), so only
+    # the cheap rows go through AD
+    sdf_fast = ocp.sdf_stage_idx is not None and ocp.sdf_row_batch is not None
+    n_cheap = nh - 1 if sdf_fast else nh
+    cheap_h = ocp.h_stage_cheap if sdf_fast else ocp.h_stage
 
     def lin_node(x, u, p, dtk, yref_k):
-        """Everything the QP needs from one shooting node."""
+        """Everything the QP needs from one shooting node (sdf row excluded
+        when the fast path is active — it is stitched in afterwards)."""
         x_next, A, B = erk4_with_sensitivities(f, x, u, dtk)
 
         y_fn = lambda xv, uv: ocp.y(xv, uv, p)
@@ -137,8 +144,8 @@ def make_rti_step(ocp: OcpSpec, cfg):
         Jyx = jax.jacfwd(y_fn, argnums=0)(x, u)
         Jyu = jax.jacfwd(y_fn, argnums=1)(x, u)
 
-        if ocp.h_stage is not None:
-            h_fn = lambda xv, uv: ocp.h_stage(xv, uv, p)
+        if cheap_h is not None:
+            h_fn = lambda xv, uv: cheap_h(xv, uv, p)
             h_val = h_fn(x, u)
             jac = jax.jacrev if h_rev else jax.jacfwd
             Jhx, Jhu = jac(h_fn, argnums=(0, 1))(x, u)
@@ -163,6 +170,22 @@ def make_rti_step(ocp: OcpSpec, cfg):
             X[:N], U, p[:N], dt, jnp.asarray(inp.yref, dtype)
         )
         defect = x_next - X[1:]  # (N, nx) multiple-shooting defects
+
+        if sdf_fast:
+            # stitch the analytically-differentiated sdf row into the stack:
+            # ONE batched MLP value+grad call covers all N nodes
+            h_sdf, dhdx3 = ocp.sdf_row_batch(X[:N], p[:N])
+            h_full = jnp.zeros((N, nh), dtype)
+            Jhx_full = jnp.zeros((N, nh, nx), dtype)
+            Jhu_full = jnp.zeros((N, nh, nu), dtype)
+            if n_cheap:
+                cheap_idx = jnp.asarray(ocp.cheap_stage_indices)
+                h_full = h_full.at[:, cheap_idx].set(h_val)
+                Jhx_full = Jhx_full.at[:, cheap_idx, :].set(Jhx)
+                Jhu_full = Jhu_full.at[:, cheap_idx, :].set(Jhu)
+            h_val = h_full.at[:, ocp.sdf_stage_idx].set(h_sdf.astype(dtype))
+            Jhx = Jhx_full.at[:, ocp.sdf_stage_idx, :3].set(dhdx3.astype(dtype))
+            Jhu = Jhu_full
 
         yN_fn = lambda xv: ocp.yN(xv, p[N])
         resN = yN_fn(X[N]) - jnp.asarray(inp.yrefN, dtype)
