@@ -22,10 +22,11 @@ from .preprocessing import make_image_pipeline
 
 
 class VaeRuntime:
-    def __init__(self, cfg, encoder_variables, decoder_variables=None):
+    def __init__(self, cfg, encoder_variables, decoder_variables=None, batchnorm=True):
         self.cfg = cfg
-        self.encoder = Encoder(1, cfg.nn.size_latent, dropout_rate=0.0)
-        self.decoder = Decoder(1, cfg.nn.size_latent, tuple(cfg.sensor.shape_imgs), dropout_rate=0.0)
+        self.encoder = Encoder(1, cfg.nn.size_latent, dropout_rate=0.0, batchnorm=batchnorm)
+        self.decoder = Decoder(1, cfg.nn.size_latent, tuple(cfg.sensor.shape_imgs),
+                               dropout_rate=0.0, batchnorm=batchnorm)
         self._enc_vars = encoder_variables
         self._dec_vars = decoder_variables
         self._preprocess = make_image_pipeline(cfg)
