@@ -35,6 +35,27 @@ from pathlib import Path
 __version__ = "0.1.0"
 
 
+def __getattr__(name):
+    """Lazy convenience re-exports (keeps bare `import sdf_nmpc_tpu` light)."""
+    if name == "Nmpc":
+        from .controller import Nmpc
+
+        return Nmpc
+    if name == "build_ocp":
+        from .ocp import build_ocp
+
+        return build_ocp
+    if name == "default_config":
+        from .config import default_config
+
+        return default_config
+    if name == "load_config":
+        from .config import load_config
+
+        return load_config
+    raise AttributeError(name)
+
+
 def default_config_dir() -> Path:
     """Directory holding packaged YAML configs (reference: sdf_nmpc/__init__.py:6)."""
     cfg_pkg = files("sdf_nmpc_tpu") / "config"

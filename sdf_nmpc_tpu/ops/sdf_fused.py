@@ -126,7 +126,7 @@ def _act_pair(z, act: str, w0: float):
 
 
 def _kernel(p_ref, t_ref, W1, b1, W2, b2, W3, b3, W4, b4, W5, b5,
-            df_ref, gr_ref, *, bp, s1p, in1p, act, w0):
+            df_ref, gr_ref, *, bp, act, w0):
     """One tile: primal rows (bp, in1p) + tangent rows (3bp, in1p)."""
 
     def dense_pair(P, T, W, b):
@@ -188,9 +188,7 @@ def make_fused_sdf(module, params, tile: int = 256, interpret: bool = False):
         )
         T_stacked = T_tiles.reshape(n_tiles * 3 * tile, in1p)
 
-        kern = partial(
-            _kernel, bp=tile, s1p=meta["s1p"], in1p=in1p, act=meta["act"], w0=meta["w0"]
-        )
+        kern = partial(_kernel, bp=tile, act=meta["act"], w0=meta["w0"])
         df_pad, gr_pad = pl.pallas_call(
             kern,
             grid=(n_tiles,),
