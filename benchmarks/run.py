@@ -69,6 +69,31 @@ def config1():
     )
 
 
+def config1_ondevice(k=100):
+    """On-device single-solve latency: chain k sequential RTI steps inside ONE
+    jitted program (removes host/tunnel dispatch from the measurement)."""
+    import jax
+
+    cfg, ocp, step, states, inputs = setup(enable_sdf=True, batch=1)
+    st = jax.tree.map(lambda x: x[0], states)
+    inp = jax.tree.map(lambda x: x[0], inputs)
+
+    @jax.jit
+    def chain(st):
+        def body(st, _):
+            res = step(st, inp)
+            return res.state, res.u0
+
+        stN, u0s = jax.lax.scan(body, st, None, length=k)
+        return u0s
+
+    med, p99, out = _timeit(chain, st, repeat=10)
+    print(
+        f"config 1b (on-device chain):     {med / k * 1e3:7.3f} ms/solve  "
+        f"({k} chained solves in {med * 1e3:.1f} ms; budget 10 ms)"
+    )
+
+
 def config2():
     """Single solve with the neural SDF in the constraints, fixed latent."""
     import jax
@@ -152,7 +177,7 @@ def config5(per_device=512):
 
 def main():
     picks = [int(a) for a in sys.argv[1:]] or [1, 2, 3, 4, 5]
-    fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+    fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5, 6: config1_ondevice}
     import jax
 
     print(f"# device(s): {[str(d) for d in jax.devices()][:4]} ...")
