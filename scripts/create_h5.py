@@ -2,6 +2,12 @@
 """Merge several HDF5 image sets into one train/test dataset
 (reference scripts/neural_nets/create_h5.py)."""
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
 import argparse
 
 

@@ -2,6 +2,12 @@
 """SDF-network evaluation: per-elevation frustum slice contours, NN vs GT
 (reference scripts/neural_nets/df_test.py — non-interactive, saves PNGs)."""
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
 import argparse
 from pathlib import Path
 
@@ -18,11 +24,12 @@ def load_sdf(ckpt_dir, size_latent, layer_sizes):
     module = NeuralDF(size_latent=size_latent, layer_sizes=layer_sizes,
                       embed="oct", act="sin", w0=20.0)
     template = module.init(jax.random.PRNGKey(0), jnp.zeros(3 + size_latent))
+    # train_df checkpoints store the full flax variables dict under "params"
     blob = serialization.from_bytes(
-        {"params": template["params"], "opt_state": None},
+        {"params": template, "opt_state": None, "batch_stats": {}},
         (Path(ckpt_dir) / "weights.msgpack").read_bytes(),
     )
-    return module, {"params": blob["params"]}
+    return module, blob["params"]
 
 
 def main():
@@ -57,12 +64,10 @@ def main():
     sizes = [int(v) for v in args.layer_sizes.split("_")]
     module, variables = load_sdf(args.sdf, args.size_latent, sizes)
 
-    encoder = Encoder(1, args.size_latent, dropout_rate=0.0)
+    from sdf_nmpc_tpu.training.checkpoints import load_encoder_from_vae_ckpt
+
     H, W = metadata["shape_imgs"][-2:]
-    template = encoder.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 1)), with_logvar=True)
-    enc_vars = serialization.from_bytes(
-        template, (Path(args.encoder) / "weights.msgpack").read_bytes()
-    )
+    encoder, enc_vars = load_encoder_from_vae_ckpt(args.encoder, args.size_latent, H, W)
 
     df_cpt = DfComputer(True, args.dmax, metadata["hfov"], metadata["vfov"], 1.0,
                         is_spherical=metadata["is_spherical"])

@@ -3,6 +3,12 @@
 depth image for visual comparison (reference scripts/neural_nets/df_viz_img.py
 ray-marching loop :85-97 — vectorized over all rays at once here)."""
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
 import argparse
 from pathlib import Path
 
@@ -56,12 +62,10 @@ def main():
     sizes = [int(v) for v in args.layer_sizes.split("_")]
     module, variables = load_sdf(args.sdf, args.size_latent, sizes)
 
-    encoder = Encoder(1, args.size_latent, dropout_rate=0.0)
+    from sdf_nmpc_tpu.training.checkpoints import load_encoder_from_vae_ckpt
+
     H, W = metadata["shape_imgs"][-2:]
-    template = encoder.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 1)), with_logvar=True)
-    enc_vars = serialization.from_bytes(
-        template, (Path(args.encoder) / "weights.msgpack").read_bytes()
-    )
+    encoder, enc_vars = load_encoder_from_vae_ckpt(args.encoder, args.size_latent, H, W)
 
     h, w = H // args.downsamp, W // args.downsamp
     rays = pixel_grid(h, w, metadata["hfov"], metadata["vfov"], metadata["is_spherical"])

@@ -6,6 +6,12 @@ device instead of per-velocity IPOPT), min_acc, poly_fit (closed-form least
 squares), poly_eval, mlp_fit, mlp_eval.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
 import argparse
 import os
 from pathlib import Path

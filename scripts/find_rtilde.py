@@ -2,6 +2,12 @@
 """Compute the stability terminal-cost constant r-tilde
 (reference scripts/find_rtilde.py)."""
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
 import argparse
 
 

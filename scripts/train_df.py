@@ -7,12 +7,15 @@ encoder.  Example:
     python scripts/train_df.py --data data.hdf5 --encoder vae_ckpt/ --out runs/sdf
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
 import argparse
 import json
 from pathlib import Path
-
-from flax import serialization
-
 
 def main():
     ap = argparse.ArgumentParser()
@@ -33,22 +36,18 @@ def main():
     )
     args = ap.parse_args()
 
-    import jax
-    import jax.numpy as jnp
-
     from sdf_nmpc_tpu.data.h5 import train_dataset_from_h5
-    from sdf_nmpc_tpu.nn import Encoder
     from sdf_nmpc_tpu.training import DfTrainConfig, train_df
+    from sdf_nmpc_tpu.training.checkpoints import load_encoder_from_vae_ckpt
 
     (train_ds, valid_ds), metadata = train_dataset_from_h5(
         args.data_dir, args.data, args.dmax, train_valid_ratio=0.9, vae=False
     )
 
-    encoder = Encoder(1, args.size_latent, dropout_rate=0.0)
     H, W = metadata["shape_imgs"][-2:]
-    template = encoder.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 1)), with_logvar=True)
-    enc_blob = (Path(args.encoder) / "weights.msgpack").read_bytes()
-    enc_vars = serialization.from_bytes(template, enc_blob)
+    encoder, enc_vars = load_encoder_from_vae_ckpt(
+        args.encoder, args.size_latent, H, W
+    )
 
     cfg = DfTrainConfig(
         dmax=args.dmax, nb_epochs=args.epochs, batch_size=args.batch_size,

@@ -1,6 +1,12 @@
 #!/usr/bin/env python
 """beta-VAE training CLI (reference scripts/neural_nets/vae_train.py)."""
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
 import argparse
 import json
 from pathlib import Path

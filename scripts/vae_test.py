@@ -2,6 +2,12 @@
 """VAE evaluation panels: input / target / reconstruction / signed error
 (reference scripts/neural_nets/vae_test.py — non-interactive, saves PNGs)."""
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
 import argparse
 from pathlib import Path
 
@@ -34,15 +40,19 @@ def main():
     ds, metadata = test_dataset_from_h5(args.data_dir, args.data, args.dmax, vae=True, col_map=True)
     H, W = metadata["shape_imgs"][-2:]
     vae = Vae(size_latent=args.size_latent, shape_imgs=(1, H, W), dropout_rate=0.0)
+    key = jax.random.PRNGKey(0)
     template = vae.init(
-        {"params": jax.random.PRNGKey(0), "latent": jax.random.PRNGKey(0)},
-        jnp.zeros((1, H, W, 1)),
+        {"params": key, "latent": key, "dropout": key},
+        jnp.zeros((1, H, W, 1)), train=True,
     )
     blob = serialization.from_bytes(
-        {"params": template["params"], "opt_state": None},
+        {"params": template["params"], "opt_state": None,
+         "batch_stats": template.get("batch_stats", {})},
         (Path(args.vae) / "weights.msgpack").read_bytes(),
     )
     variables = {"params": blob["params"]}
+    if "batch_stats" in template:
+        variables["batch_stats"] = blob["batch_stats"]
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)

@@ -9,6 +9,12 @@ startups fast — the same role the reference's ~/.cache codegen dir played
 (SURVEY.md §5.4).
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
 import argparse
 import time
 

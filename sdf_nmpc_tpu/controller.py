@@ -137,6 +137,8 @@ class Nmpc:
     def solve(self) -> int:
         """One RTI solve; returns the consecutive-failure count
         (reference controller.py:72-83)."""
+        if self.x0 is None:
+            raise RuntimeError("Nmpc.solve() called before set_x0() — feed a state first")
         t0 = time.perf_counter()
         self._solver_state = shift_state(self._solver_state, int(self.cfg.mpc.shift))
         inputs = SolveInputs(

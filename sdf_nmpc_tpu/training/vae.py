@@ -74,8 +74,10 @@ def train_vae(train_ds, valid_ds, metadata, out_dir, cfg: VaeTrainConfig = VaeTr
     )
     opt_state = tx.init(params)
     if restart_from_epoch:
-        params, opt_state, _ = load_checkpoint(out_dir, params, opt_state,
-                                               epoch=restart_from_epoch - 1)
+        params, opt_state, _, batch_stats = load_checkpoint(
+            out_dir, params, opt_state, epoch=restart_from_epoch - 1,
+            batch_stats_template=batch_stats,
+        )
 
     def recon_loss(target, pred):
         if cfg.bias:
@@ -164,7 +166,8 @@ def train_vae(train_ds, valid_ds, metadata, out_dir, cfg: VaeTrainConfig = VaeTr
         tsb_train.add_scalars({"loss/regression": agg_t[0], "loss/kld": agg_t[1]}, epoch)
         if nb_v:
             tsb_valid.add_scalars({"loss/regression": agg_v[0], "loss/kld": agg_v[1]}, epoch)
-        save_checkpoint(out_dir, params, opt_state, epoch, extra={"lr": lr})
+        save_checkpoint(out_dir, params, opt_state, epoch, extra={"lr": lr},
+                        batch_stats=batch_stats)
         rec = {"epoch": epoch, "lr": lr, "time": time.time() - tic,
                "train": agg_t.tolist(), "valid": agg_v.tolist()}
         history.append(rec)
