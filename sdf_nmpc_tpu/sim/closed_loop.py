@@ -43,8 +43,10 @@ def make_closed_loop(
     inputs        -- SolveInputs held fixed over the rollout (frozen latent /
                      reference), as in the reference's frozen-observation
                      regime between images.
-    scene_sdf_fn  -- optional world-frame oracle p3 -> signed distance, for
-                     clearance monitoring.
+    scene_sdf_fn  -- optional world-frame oracle for clearance monitoring:
+                     either p3 -> sd, or (p3, scene) -> sd when the rollout is
+                     called with a ``scene`` argument (scene-as-data keeps ONE
+                     compilation across many scenes and vmaps over them).
     disturbance_fn-- optional (tick, x, u) -> xdot perturbation added to the
                      plant dynamics.
     """
@@ -57,7 +59,7 @@ def make_closed_loop(
             return erk4(f, x, u, dt_ctrl)
         return erk4(lambda xv, uv: f(xv, uv) + disturbance_fn(k, xv, uv), x, u, dt_ctrl)
 
-    def rollout(x0, inputs: SolveInputs) -> ClosedLoopResult:
+    def rollout(x0, inputs: SolveInputs, scene=None) -> ClosedLoopResult:
         x0 = jnp.asarray(x0, inputs.x0.dtype)
         st0 = init_state(ocp, x0, x0.dtype)
 
@@ -66,9 +68,12 @@ def make_closed_loop(
             res = step(st, inputs._replace(x0=x))
             u = res.u0
             x_next = plant(x, u, k)
-            clear = (
-                scene_sdf_fn(x_next[:3]) if scene_sdf_fn is not None else jnp.inf
-            )
+            if scene_sdf_fn is None:
+                clear = jnp.inf
+            elif scene is None:
+                clear = scene_sdf_fn(x_next[:3])
+            else:
+                clear = scene_sdf_fn(x_next[:3], scene)
             return (x_next, res.state), (x_next, u, res.status, clear)
 
         (xT, _), (xs, us, statuses, clears) = jax.lax.scan(
