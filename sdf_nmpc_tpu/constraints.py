@@ -14,7 +14,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from .config import sensor_extrinsics
 from .ocp import camera_frame_position
 from .params import ParamLayout
 from . import math as m

@@ -11,8 +11,6 @@ Images are (1, H, W) dmax-normalized; 0 marks invalid pixels.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

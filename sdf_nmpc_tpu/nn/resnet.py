@@ -12,7 +12,6 @@ torch NCHW; the torch-weight importer (torch_import.py) handles the transpose.
 from __future__ import annotations
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 
 class ResBlock(nn.Module):

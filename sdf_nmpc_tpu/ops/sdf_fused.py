@@ -34,7 +34,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..nn.embeddings import PositionEmbedding, embedding_for
+from ..nn.embeddings import embedding_for
 
 
 def _round_up(x: int, m: int) -> int:

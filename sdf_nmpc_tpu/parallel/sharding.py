@@ -14,7 +14,6 @@ global mesh; nothing here is host-count-specific.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional
 
 import jax

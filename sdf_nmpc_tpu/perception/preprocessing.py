@@ -14,8 +14,6 @@ All functions operate on (..., H, W) arrays and are jit/vmap friendly.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -11,8 +11,6 @@ viz and can run anywhere.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ocp import OcpSpec
-from ..solver import SolveInputs, SolverState, init_state, make_rti_step
+from ..solver import SolveInputs, init_state, make_rti_step
 from ..solver.integrator import erk4
 
 

@@ -19,8 +19,6 @@ nb (the QP pads as needed).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -24,7 +24,6 @@ independently (SURVEY.md §5.3).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional
 
 import jax

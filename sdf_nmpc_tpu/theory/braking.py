@@ -19,8 +19,6 @@ Braking distance: bdist(v) = 0.5 |v|^2 / a_max(v_hat).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

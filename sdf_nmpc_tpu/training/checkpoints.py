@@ -10,7 +10,6 @@ resume restores the cosine schedule position exactly.
 from __future__ import annotations
 
 import json
-import os
 from pathlib import Path
 
 import jax
