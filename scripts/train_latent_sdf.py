@@ -245,6 +245,80 @@ def evaluate_closed_loop(test_scenes, test_latents, module, params, size_latent,
     return stats
 
 
+def evaluate_perception_in_loop(test_scenes, vae, vae_vars, module, params,
+                                size_latent, H, W, n_chunks=6, ticks_per_chunk=15,
+                                log_fn=print):
+    """Highest-fidelity eval: every chunk re-renders from the CURRENT pose,
+    re-encodes with the trained VAE, and freezes the new observation —
+    the deployed image-update cycle end to end."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdf_nmpc_tpu.config import default_config
+    from sdf_nmpc_tpu.math import quat2rot
+    from sdf_nmpc_tpu.nn import make_sdf_fn
+    from sdf_nmpc_tpu.ocp import build_ocp
+    from sdf_nmpc_tpu.params import ParamLayout
+    from sdf_nmpc_tpu.ref_gen import Ref
+    from sdf_nmpc_tpu.sim import (
+        make_closed_loop_perception, render_range_image, scene_sdf,
+    )
+    from sdf_nmpc_tpu.solver import SolveInputs
+
+    cfg = default_config().replace(
+        nn=dict(size_latent=size_latent), solver=dict(dtype="float32", qp_iters=8)
+    )
+    ocp = build_ocp(cfg, sdf_fn=make_sdf_fn(module, params), sdf_max_df=1.0)
+    layout = ParamLayout.from_cfg(cfg)
+    N = ocp.N
+
+    def observe(x, sc):
+        q = x[3:7] / jnp.linalg.norm(x[3:7])
+        W_R_B = quat2rot(q)
+        img = render_range_image(sc, x[:3], W_R_B, H, W, 0.7592, 0.4903, 5.0)
+        latent = vae.apply(vae_vars, img[None, :, :, None],
+                           method=lambda m, im: m.encoder(im))[0]
+        return x[:3], W_R_B, latent
+
+    rollout = jax.jit(
+        make_closed_loop_perception(
+            ocp, cfg, n_chunks=n_chunks, ticks_per_chunk=ticks_per_chunk,
+            observe_fn=observe, scene_sdf_fn=lambda p, sc: scene_sdf(sc, p),
+        )
+    )
+
+    p = np.zeros((N + 1, layout.np_total), np.float32)
+    layout.set_flag(p, 1.0)
+    layout.set_q_d(p, [1, 0, 0, 0])
+    ref = Ref(cfg).use_constrained_weights(False)
+    ref.p = np.array([3.5, 0.0, 0.0])
+    yr, Wt = ocp.pack_ref(ref)
+    x0 = np.zeros(10, np.float32); x0[3] = 1.0
+    inputs = SolveInputs(
+        x0=jnp.asarray(x0),
+        yref=jnp.tile(jnp.asarray(yr, jnp.float32)[None], (N, 1)),
+        W=jnp.tile(jnp.asarray(Wt, jnp.float32)[None], (N, 1)),
+        yrefN=jnp.asarray(yr[: ocp.nyN], jnp.float32),
+        WN=jnp.asarray(Wt[: ocp.nyN], jnp.float32),
+        p=jnp.asarray(p),
+    )
+
+    rows = []
+    for scene in test_scenes:
+        res = rollout(jnp.asarray(x0), inputs, scene)
+        rows.append((float(res.min_clearance), float(res.tracking_error),
+                     int(np.asarray(res.statuses).sum())))
+    stats = {
+        "refresh_collision_rate": float(np.mean([r[0] < 0 for r in rows])),
+        "refresh_mean_clearance": float(np.mean([r[0] for r in rows])),
+        "refresh_mean_goal_err": float(np.mean([r[1] for r in rows])),
+        "refresh_solver_failures": int(np.sum([r[2] for r in rows])),
+    }
+    for k, v in stats.items():
+        log_fn(f"  {k}: {v}")
+    return stats
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="tiny sizes for smoke runs")
@@ -290,6 +364,10 @@ def main():
     print("[4/4] closed-loop evaluation on UNSEEN scenes (render -> encode -> solve) ...")
     lat_test = encode_latents(vae, vae_vars, np.asarray(imgs_test))
     stats = evaluate_closed_loop(test_scenes, np.asarray(lat_test), module, params, args.latent)
+
+    print("[4b] perception-in-the-loop (re-render + re-encode every chunk) ...")
+    evaluate_perception_in_loop(test_scenes, vae, vae_vars, module, params,
+                                args.latent, H, W)
 
     ok = stats["sdf_on_collision_rate"] < stats["sdf_off_collision_rate"] and stats[
         "sdf_on_collision_rate"] <= 0.25

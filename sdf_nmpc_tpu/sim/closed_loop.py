@@ -92,6 +92,82 @@ def make_closed_loop(
     return rollout
 
 
+def make_closed_loop_perception(
+    ocp: OcpSpec,
+    cfg,
+    n_chunks: int,
+    ticks_per_chunk: int,
+    observe_fn: Callable,
+    scene_sdf_fn: Optional[Callable] = None,
+):
+    """Closed loop WITH the perception cycle in the loop.
+
+    Reproduces the deployed timing structure (reference README.md:208-257 and
+    the frozen-observation regime of controller.py:50-55): every
+    ``ticks_per_chunk`` control ticks a new observation is taken from the
+    CURRENT pose — ``observe_fn(x, scene) -> (W_p_Co, W_R_Co, latent)``
+    (typically render + encode) — and frozen into the parameter vector for the
+    next chunk.  Outer scan over observations, inner scan over control ticks;
+    everything stays one jitted program.
+
+    Returns rollout(x0, inputs, scene) -> ClosedLoopResult (total ticks =
+    n_chunks * ticks_per_chunk).
+    """
+    step = make_rti_step(ocp, cfg)
+    dt_ctrl = cfg.mpc.T / cfg.mpc.N
+    f = ocp.model.f
+    layout = ocp.layout
+    N = ocp.N
+
+    def _write_obs(p, W_p_Co, W_R_Co, latent):
+        p = p.at[:, jnp.asarray(layout.W_p_Co)].set(W_p_Co[None, :])
+        p = p.at[:, jnp.asarray(layout.W_R_Co)].set(W_R_Co.reshape(9)[None, :])
+        p = p.at[:, layout.latent_start :].set(latent[None, :])
+        return p
+
+    def rollout(x0, inputs: SolveInputs, scene) -> ClosedLoopResult:
+        x0 = jnp.asarray(x0, inputs.x0.dtype)
+        st0 = init_state(ocp, x0, x0.dtype)
+
+        def chunk(carry, _):
+            x, st, p = carry
+            W_p_Co, W_R_Co, latent = observe_fn(x, scene)
+            p = _write_obs(p, W_p_Co, W_R_Co, latent)
+
+            def tick(carry, k):
+                x, st = carry
+                res = step(st, inputs._replace(x0=x, p=p))
+                x_next = erk4(f, x, res.u0, dt_ctrl)
+                clear = (
+                    scene_sdf_fn(x_next[:3], scene)
+                    if scene_sdf_fn is not None
+                    else jnp.inf
+                )
+                return (x_next, res.state), (x_next, res.u0, res.status, clear)
+
+            (x, st), outs = jax.lax.scan(tick, (x, st), jnp.arange(ticks_per_chunk))
+            return (x, st, p), outs
+
+        (xT, _, _), (xs, us, statuses, clears) = jax.lax.scan(
+            chunk, (x0, st0, jnp.asarray(inputs.p, x0.dtype)), None, length=n_chunks
+        )
+        xs = xs.reshape(-1, xs.shape[-1])
+        us = us.reshape(-1, us.shape[-1])
+        statuses = statuses.reshape(-1)
+        clears = clears.reshape(-1)
+        xs = jnp.concatenate([x0[None], xs], axis=0)
+        target = inputs.yref[-1, :3]
+        return ClosedLoopResult(
+            xs=xs,
+            us=us,
+            statuses=statuses,
+            min_clearance=jnp.min(clears),
+            tracking_error=jnp.linalg.norm(xT[:3] - target),
+        )
+
+    return rollout
+
+
 def summarize(results: ClosedLoopResult) -> dict:
     """Batch-level aggregates (vmapped ClosedLoopResult)."""
     return {

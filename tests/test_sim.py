@@ -100,3 +100,39 @@ def test_batched_monte_carlo(avoid_setup):
     assert stats["n"] == B
     assert stats["success_rate"] == 1.0
     assert stats["collision_rate"] == 0.0
+
+
+def test_perception_in_the_loop(avoid_setup):
+    """Full deployed cycle: every chunk re-renders from the current pose and
+    re-encodes (here: oracle 'encoder' = identity latent; the observation
+    update path itself is what's under test)."""
+    import jax.numpy as jnp
+
+    from sdf_nmpc_tpu.math import quat2rot
+    from sdf_nmpc_tpu.sim import make_closed_loop_perception, render_range_image
+
+    cfg, ocp, world_sdf = avoid_setup
+    from sdf_nmpc_tpu.sim import Scene, scene_sdf
+
+    scene = Scene.make(spheres=[([1.2, 0.05, 0.0], 0.35)])
+
+    def observe(x, sc):
+        # camera at the body position, body attitude (identity extrinsics);
+        # render to prove the image path runs, use a fixed latent
+        W_R_B = quat2rot(x[3:7] / jnp.linalg.norm(x[3:7]))
+        img = render_range_image(sc, x[:3], W_R_B, 10, 16, 0.7592, 0.4903, 5.0, n_steps=16)
+        latent = jnp.full(8, jnp.mean(img))  # stand-in encoder
+        return x[:3], W_R_B, latent
+
+    rollout = jax.jit(
+        make_closed_loop_perception(
+            ocp, cfg, n_chunks=6, ticks_per_chunk=10,
+            observe_fn=observe, scene_sdf_fn=lambda p, sc: scene_sdf(sc, p),
+        )
+    )
+    x0 = hover_x0()
+    inputs = build_inputs(cfg, ocp, x0, flag=1.0, constrained_weights=False)
+    res = rollout(jnp.asarray(x0), inputs, scene)
+    assert res.xs.shape == (61, 10)
+    assert int(np.asarray(res.statuses).sum()) == 0
+    assert np.isfinite(np.asarray(res.xs)).all()
