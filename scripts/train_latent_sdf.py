@@ -247,7 +247,7 @@ def evaluate_closed_loop(test_scenes, test_latents, module, params, size_latent,
 
 def evaluate_perception_in_loop(test_scenes, vae, vae_vars, module, params,
                                 size_latent, H, W, n_chunks=6, ticks_per_chunk=15,
-                                log_fn=print):
+                                rec_feas=False, log_fn=print):
     """Highest-fidelity eval: every chunk re-renders from the CURRENT pose,
     re-encodes with the trained VAE, and freezes the new observation —
     the deployed image-update cycle end to end."""
@@ -268,7 +268,17 @@ def evaluate_perception_in_loop(test_scenes, vae, vae_vars, module, params,
     cfg = default_config().replace(
         nn=dict(size_latent=size_latent), solver=dict(dtype="float32", qp_iters=8)
     )
-    ocp = build_ocp(cfg, sdf_fn=make_sdf_fn(module, params), sdf_max_df=1.0)
+    bdist_coeffs = None
+    if rec_feas:
+        # fit the braking-distance surrogate with the framework's own theory
+        # pipeline (reference find_amax grid + poly_fit)
+        from sdf_nmpc_tpu.theory import braking_grid, fit_poly
+
+        vel, bdist, _ = braking_grid(cfg, vmax=3.0, step=0.25)
+        bdist_coeffs = fit_poly(vel, bdist, degree=cfg.mpc.braking_dist.degree)
+        cfg = cfg.replace(flags=dict(recursive_feasibility=True))
+    ocp = build_ocp(cfg, sdf_fn=make_sdf_fn(module, params), sdf_max_df=1.0,
+                    bdist_coeffs=bdist_coeffs)
     layout = ParamLayout.from_cfg(cfg)
     N = ocp.N
 
@@ -308,11 +318,12 @@ def evaluate_perception_in_loop(test_scenes, vae, vae_vars, module, params,
         res = rollout(jnp.asarray(x0), inputs, scene)
         rows.append((float(res.min_clearance), float(res.tracking_error),
                      int(np.asarray(res.statuses).sum())))
+    tag = "refresh_recfeas" if rec_feas else "refresh"
     stats = {
-        "refresh_collision_rate": float(np.mean([r[0] < 0 for r in rows])),
-        "refresh_mean_clearance": float(np.mean([r[0] for r in rows])),
-        "refresh_mean_goal_err": float(np.mean([r[1] for r in rows])),
-        "refresh_solver_failures": int(np.sum([r[2] for r in rows])),
+        f"{tag}_collision_rate": float(np.mean([r[0] < 0 for r in rows])),
+        f"{tag}_mean_clearance": float(np.mean([r[0] for r in rows])),
+        f"{tag}_mean_goal_err": float(np.mean([r[1] for r in rows])),
+        f"{tag}_solver_failures": int(np.sum([r[2] for r in rows])),
     }
     for k, v in stats.items():
         log_fn(f"  {k}: {v}")
@@ -368,6 +379,10 @@ def main():
     print("[4b] perception-in-the-loop (re-render + re-encode every chunk) ...")
     evaluate_perception_in_loop(test_scenes, vae, vae_vars, module, params,
                                 args.latent, H, W)
+
+    print("[4c] perception-in-the-loop WITH recursive feasibility ...")
+    evaluate_perception_in_loop(test_scenes, vae, vae_vars, module, params,
+                                args.latent, H, W, rec_feas=True)
 
     ok = stats["sdf_on_collision_rate"] < stats["sdf_off_collision_rate"] and stats[
         "sdf_on_collision_rate"] <= 0.25

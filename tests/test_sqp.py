@@ -185,3 +185,49 @@ def test_closed_loop_reaches_waypoint(cfg_nosdf):
     np.testing.assert_allclose(pos, ref.p, atol=0.05)
     vel = np.asarray(x[7:])
     np.testing.assert_allclose(vel, 0.0, atol=0.05)  # residual settle motion
+
+
+def test_nonuniform_grid_solves(cfg_nosdf):
+    """Front-dense shooting grid (reference ocp.py:21-27): 2 short nodes at
+    the control period, then uniform to T."""
+    cfg = cfg_nosdf.replace(
+        solver=dict(dtype="float64"), mpc=dict(uniform_dt=False)
+    )
+    ocp = build_ocp(cfg)
+    # dt vector: first interval = control period, last intervals longer
+    assert ocp.dt.shape == (cfg.mpc.N,)
+    np.testing.assert_allclose(ocp.dt[0], cfg.mpc.control_loop_time * 1e-3)
+    assert ocp.dt[-1] > ocp.dt[0]
+    np.testing.assert_allclose(ocp.dt.sum(), cfg.mpc.T)
+
+    step = jax.jit(make_rti_step(ocp, cfg))
+    x0 = hover_x0()
+    ref = Ref(cfg)
+    ref.p = np.array([1.0, 0.0, 0.0])
+    res = step(init_state(ocp, x0, jnp.float64), make_inputs(ocp, cfg, x0, ref))
+    assert int(res.status) == 0
+
+
+def test_multi_sqp_iters_improves(cfg_nosdf):
+    """cfg.solver.sqp_iters > 1: more Gauss-Newton iterations per call move
+    the iterate further toward the fixed point than one RTI iteration."""
+    cfg1 = cfg_nosdf.replace(solver=dict(dtype="float64"), mpc=dict(lm_reg=0.01))
+    cfg3 = cfg1.replace(solver=dict(sqp_iters=3))
+    ocp = build_ocp(cfg1)
+    step1 = jax.jit(make_rti_step(ocp, cfg1))
+    step3 = jax.jit(make_rti_step(build_ocp(cfg3), cfg3))
+
+    x0 = hover_x0()
+    x0[:3] = [-1.0, 0.5, 0.3]
+    ref = Ref(cfg1)
+    inputs = make_inputs(ocp, cfg1, x0, ref)
+
+    res1 = step1(init_state(ocp, x0, jnp.float64), inputs)
+    res3 = step3(init_state(ocp, x0, jnp.float64), inputs)
+    # three inner iterations from the same start == three chained single steps
+    st = init_state(ocp, x0, jnp.float64)
+    for _ in range(3):
+        r = step1(st, inputs)
+        st = r.state
+    np.testing.assert_allclose(np.asarray(res3.u0), np.asarray(r.u0), atol=1e-12)
+    assert not np.allclose(np.asarray(res1.u0), np.asarray(res3.u0))
