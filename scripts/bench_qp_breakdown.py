@@ -21,15 +21,18 @@ def run(tag, overrides, patch_diag=False):
     import sdf_nmpc_tpu.solver.qp as qpmod
 
     if patch_diag:
-        orig = jax.scipy.linalg.cho_solve
         import jax.numpy as jnp
 
-        # monkeypatch: diagonal "solve" (wrong answer, right cost structure
-        # minus the factorization/back-substitution)
-        qpmod.jnp.linalg.cholesky = lambda M: jnp.ones_like(M[..., 0]) + 0 * M[..., 0] + (
-            1.0 / jnp.sqrt(jnp.einsum("...ii->...i", M))
+        # monkeypatch BOTH solve paths: diagonal "solve" (wrong answer, right
+        # cost structure minus factorization/back-substitution)
+        qpmod.jnp.linalg.cholesky = lambda M: 1.0 / jnp.sqrt(
+            jnp.einsum("...ii->...i", M)
         )
         qpmod.jax.scipy.linalg.cho_solve = lambda Lp, rhs: (Lp[0] ** 2) * rhs
+        qpmod.spd_factor_batched = lambda M, nb=16: (
+            (1.0 / jnp.einsum("...ii->...i", M), None), M.shape[-1]
+        )
+        qpmod.spd_factor_solve = lambda factor, n, rhs, nb=16: factor[0] * rhs
 
     from __graft_entry__ import _build
 

@@ -66,13 +66,15 @@ class BatchStats(NamedTuple):
     mean_kkt: jax.Array
 
 
-def make_batched_step(ocp: OcpSpec, cfg, mesh: Optional[Mesh] = None):
+def make_batched_step(ocp: OcpSpec, cfg, mesh: Optional[Mesh] = None,
+                      with_evals: bool = False):
     """Jitted batched RTI step: (states[B], inputs[B]) -> (results[B], stats).
 
     With a mesh, the scenario axis is sharded across devices via NamedSharding
-    constraints; stats reductions become cross-device collectives.
+    constraints; stats reductions become cross-device collectives.  Per-node
+    diagnostics default OFF in the batched path (they re-run the SDF network).
     """
-    step = make_rti_step(ocp, cfg)
+    step = make_rti_step(ocp, cfg, with_evals=with_evals)
     vstep = jax.vmap(step)
 
     def batched(states: SolverState, inputs: SolveInputs):

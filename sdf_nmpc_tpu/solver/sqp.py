@@ -94,10 +94,13 @@ def _scatter_blocks(N: int, nu: int, dtype) -> np.ndarray:
     return S
 
 
-def make_rti_step(ocp: OcpSpec, cfg):
+def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True):
     """Build the single-scenario RTI step function.
 
     Returns step(state, inputs) -> SolveResult.  Pure; jit/vmap it freely.
+    with_evals=False skips the per-node diagnostics vector (which re-evaluates
+    the SDF network at all N+1 nodes) — use for throughput paths that do not
+    consume ``result.evals``.
     """
     dtype = jnp.dtype(cfg.solver.dtype)
     N, nx, nu = ocp.N, ocp.nx, ocp.nu
@@ -305,7 +308,7 @@ def make_rti_step(ocp: OcpSpec, cfg):
         X_new = jnp.where(bad, X, X_new)
 
         evals = None
-        if ocp.eval_fn is not None:
+        if with_evals and ocp.eval_fn is not None:
             U_pad = jnp.concatenate([U_new, U_new[-1:]], axis=0)
             evals = jax.vmap(ocp.eval_fn)(X_new, U_pad, p)
 
