@@ -151,10 +151,11 @@ class Nmpc:
         )
         result = self._step(self._solver_state, inputs)
         status = int(result.status)
-        if status == 0:
+        if status != 1:  # NaN steps are rejected; others update the iterate
             self._solver_state = result.state
             self._u = np.asarray(result.u0)
             self._evals = None if result.evals is None else np.asarray(result.evals)
+        if status == 0:
             self.fail_count = 0
         else:
             self.fail_count += 1

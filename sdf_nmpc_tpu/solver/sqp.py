@@ -36,6 +36,7 @@ from .qp import QpData, QpResult, solve_qp
 
 STATUS_OK = 0
 STATUS_NAN = 1
+STATUS_NOT_CONVERGED = 2  # KKT residual above cfg.solver.kkt_tol (state kept)
 
 
 class SolverState(NamedTuple):
@@ -304,6 +305,16 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True):
             jnp.any(~jnp.isfinite(U_new)), jnp.any(~jnp.isfinite(X_new))
         )
         status = jnp.where(bad, STATUS_NAN, STATUS_OK).astype(jnp.int32)
+        kkt_tol = cfg.solver.get("kkt_tol", None)
+        if kkt_tol is not None:
+            # soft-failure detection (acados reports QP status; our analogue is
+            # the stationarity residual of the final IP iterate).  The iterate
+            # is kept — like acados, a poor QP still updates the warm start.
+            status = jnp.where(
+                (status == STATUS_OK) & (qp_res.kkt_residual > kkt_tol),
+                STATUS_NOT_CONVERGED,
+                status,
+            ).astype(jnp.int32)
         U_new = jnp.where(bad, U, U_new)
         X_new = jnp.where(bad, X, X_new)
 

@@ -231,3 +231,23 @@ def test_multi_sqp_iters_improves(cfg_nosdf):
         st = r.state
     np.testing.assert_allclose(np.asarray(res3.u0), np.asarray(r.u0), atol=1e-12)
     assert not np.allclose(np.asarray(res1.u0), np.asarray(res3.u0))
+
+
+def test_kkt_tol_status(cfg_nosdf):
+    """cfg.solver.kkt_tol flags soft non-convergence as status 2 while still
+    updating the iterate (acados QP-status analogue)."""
+    cfg = cfg_nosdf.replace(solver=dict(dtype="float64", qp_iters=1, kkt_tol=1e-9))
+    ocp = build_ocp(cfg)
+    step = jax.jit(make_rti_step(ocp, cfg))
+    x0 = hover_x0()
+    x0[:3] = [-3.0, 2.0, 1.0]
+    ref = Ref(cfg)
+    res = step(init_state(ocp, x0, jnp.float64), make_inputs(ocp, cfg, x0, ref))
+    # one IP iteration from an aggressive start cannot reach 1e-9 stationarity
+    assert int(res.status) == 2
+    assert np.isfinite(np.asarray(res.state.U)).all()
+
+    cfg_ok = cfg.replace(solver=dict(qp_iters=30, kkt_tol=1e3))
+    step2 = jax.jit(make_rti_step(build_ocp(cfg_ok), cfg_ok))
+    res2 = step2(init_state(ocp, x0, jnp.float64), make_inputs(ocp, cfg_ok, x0, ref))
+    assert int(res2.status) == 0
