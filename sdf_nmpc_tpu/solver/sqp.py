@@ -203,6 +203,10 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True):
             JhxN = jnp.zeros((0, nx), dtype)
 
         # ---- 2. condensing scan: dx_k = e_k + E_k dz ----
+        # NOTE: a parallel-prefix (associative_scan) variant was benchmarked
+        # and is SLOWER at production batch (20.5k vs 27.6k solves/s at
+        # B=8192): the N log N prefix-composition matmul traffic outweighs the
+        # latency of N=20 sequential steps once the batch saturates throughput.
         e0 = x0 - X[0]
         E0 = jnp.zeros((nx, nz), dtype)
 
