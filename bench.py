@@ -21,7 +21,7 @@ import time
 
 import numpy as np
 
-BATCH = int(os.environ.get("BENCH_BATCH", 4096))
+BATCH = int(os.environ.get("BENCH_BATCH", 8192))
 ITERS = int(os.environ.get("BENCH_ITERS", 20))
 BASELINE_SOLVES_PER_S = 100.0  # reference: 10 ms RT budget per solve
 
