@@ -210,3 +210,46 @@ def test_augmenter_shapes_and_determinism():
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))  # same key -> same aug
     a3, _ = aug(jax.random.PRNGKey(4), img)
     assert not np.array_equal(np.asarray(a1), np.asarray(a3))
+
+
+def test_spherical_mode_colcheck_and_points():
+    """Lidar-style spherical sensor (reference is_spherical=True, e.g. the
+    vae_lidar deployment): pixel coords are linear in azimuth/elevation."""
+    hfov, vfov = np.pi, np.pi / 6  # 360-deg horizontal lidar geometry
+    Hs, Ws = 20, 100
+    from sdf_nmpc_tpu.data.points import pixel_grid
+
+    rays = pixel_grid(Hs, Ws, hfov, vfov, is_spherical=True)
+    # unit-sphere directions
+    np.testing.assert_allclose(np.linalg.norm(rays, axis=0), 1.0, atol=1e-6)
+
+    # constant-range image: every point closer than that range is free,
+    # beyond is collision — in every azimuth direction (360 coverage)
+    img = np.full((Hs, Ws), 2.0 / DMAX, np.float32)
+    cc = ColChecker(DMAX, hfov, vfov, 0, is_depth=False, is_spherical=True,
+                    outside="extrapolate")
+    ang = np.linspace(-np.pi * 0.99, np.pi * 0.99, 16)
+    near = np.stack([1.5 * np.cos(ang), 1.5 * np.sin(ang), np.zeros_like(ang)], -1)
+    far = np.stack([2.5 * np.cos(ang), 2.5 * np.sin(ang), np.zeros_like(ang)], -1)
+    labels = np.asarray(cc.check_image_points(img, np.concatenate([near, far]).astype(np.float32)))
+    assert not labels[:16].any()
+    assert labels[16:].all()
+
+    # points roundtrip: constant range r -> all points at |p| = r
+    pts = np.asarray(imgs2points(img, DMAX, hfov, vfov, is_depth=False, is_spherical=True))
+    np.testing.assert_allclose(np.linalg.norm(pts, axis=-1), 2.0, rtol=1e-5)
+
+
+def test_spherical_sdf_wall():
+    """Spherical-mode DfComputer: a ring wall at range 2 gives sdf ~ 2-|p|."""
+    hfov, vfov = np.pi, np.pi / 6
+    Hs, Ws = 20, 100
+    img = np.full((Hs, Ws), 2.0 / DMAX, np.float32)
+    dfc = DfComputer(signed=True, dmax=DMAX, hfov=hfov, vfov=vfov, max_df=1.0,
+                     is_spherical=True)
+    pts = np.array([[1.2, 0, 0], [0, 1.7, 0], [-2.4, 0, 0]], np.float32)
+    sdf, _ = dfc.get_df(img, pts)
+    sdf = np.asarray(sdf)
+    np.testing.assert_allclose(sdf[0], 0.8, atol=0.1)
+    np.testing.assert_allclose(sdf[1], 0.3, atol=0.1)
+    assert sdf[2] < 0  # beyond the ring in the -x direction -> inside obstacle
