@@ -178,3 +178,44 @@ def test_batched_vmap_sdf_solve(sdf_setup):
     assert np.asarray(res.status).sum() == 0
     # scenarios actually differ
     assert np.std(np.asarray(res.u0), axis=0).max() > 1e-4
+
+
+def test_sdf_cost_config(sdf_setup):
+    """sdf_cost=True appends the (1-0.5*sdf)^4 cost row at weight 20
+    (gen_model.py:65-66) and the solve still runs."""
+    cfg, sdf_fn = sdf_setup
+    cfg2 = cfg.replace(flags=dict(sdf_cost=True))
+    ocp = build_ocp(cfg2, sdf_fn=sdf_fn, sdf_max_df=1.0)
+    assert ocp.ny == ocp.model.ny + 1
+    np.testing.assert_allclose(ocp.extra_W_stage, [20.0])
+    # the fast path must be disabled (the MLP also sits in the cost residual)
+    assert ocp.sdf_row_batch is None
+    ref = __import__("sdf_nmpc_tpu.ref_gen", fromlist=["Ref"]).Ref(cfg2)
+    yr, W = ocp.pack_ref(ref)
+    assert W[-1] == 20.0 and yr[-1] == 0.0
+
+    step = jax.jit(make_rti_step(ocp, cfg2))
+    x0 = hover_x0()
+    res = step(init_state(ocp, x0, jnp.float64), build_inputs(cfg2, ocp, x0, flag=1.0))
+    assert int(res.status) == 0
+
+
+def test_no_vfov_and_wide_hfov(sdf_setup):
+    """vfov_constraint=False drops the vertical rows; hfov >= 3.14 (360-deg
+    lidar) drops the horizontal rows too (gen_model.py:42)."""
+    cfg, sdf_fn = sdf_setup
+    cfg2 = cfg.replace(flags=dict(vfov_constraint=False))
+    ocp = build_ocp(cfg2, sdf_fn=sdf_fn, sdf_max_df=1.0)
+    assert ocp.nh == 2  # hfov + sdf only
+
+    cfg3 = cfg2.replace(
+        sensor=dict(hfov=3.2, vfov=1.0, aspect_ratio=3.2, is_spherical=True)
+    )
+    from sdf_nmpc_tpu.config import load_config  # revalidate derived fields
+
+    ocp3 = build_ocp(cfg3, sdf_fn=sdf_fn, sdf_max_df=1.0)
+    assert ocp3.nh == 1  # sdf row only
+    step = jax.jit(make_rti_step(ocp3, cfg3))
+    x0 = hover_x0()
+    res = step(init_state(ocp3, x0, jnp.float64), build_inputs(cfg3, ocp3, x0, flag=1.0))
+    assert int(res.status) == 0
