@@ -158,7 +158,12 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True):
             Jhu = jnp.zeros((0, nu), dtype)
 
         res = y_val - yref_k
-        return x_next, A, B, res, Jyx, Jyu, h_val, Jhx, Jhu
+        # model/ocp functions may emit wider types (e.g. f64 literals under a
+        # global x64 setting); pin everything to the solver dtype
+        return tuple(
+            jnp.asarray(v, dtype)
+            for v in (x_next, A, B, res, Jyx, Jyu, h_val, Jhx, Jhu)
+        )
 
     def step(state: SolverState, inp: SolveInputs) -> SolveResult:
         X = jnp.asarray(state.X, dtype)
@@ -191,13 +196,13 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True):
             Jhu = Jhu_full
 
         yN_fn = lambda xv: ocp.yN(xv, p[N])
-        resN = yN_fn(X[N]) - jnp.asarray(inp.yrefN, dtype)
-        JxN = jax.jacfwd(yN_fn)(X[N])
+        resN = jnp.asarray(yN_fn(X[N]) - jnp.asarray(inp.yrefN, dtype), dtype)
+        JxN = jnp.asarray(jax.jacfwd(yN_fn)(X[N]), dtype)
         if ocp.h_term is not None:
             hN_fn = lambda xv: ocp.h_term(xv, p[N])
-            hN_val = hN_fn(X[N])
+            hN_val = jnp.asarray(hN_fn(X[N]), dtype)
             jacN = jax.jacrev if (0 < nhN < nx // 2) else jax.jacfwd
-            JhxN = jacN(hN_fn)(X[N])
+            JhxN = jnp.asarray(jacN(hN_fn)(X[N]), dtype)
         else:
             hN_val = jnp.zeros(0, dtype)
             JhxN = jnp.zeros((0, nx), dtype)
