@@ -115,7 +115,10 @@ class Nmpc:
             return
         x0 = np.asarray(x0, dtype=float)[: self.ocp.nx]
         if self.x0 is None:
-            self._solver_state = init_state(self.ocp, x0, self._dtype)
+            self._solver_state = init_state(
+                self.ocp, x0, self._dtype,
+                dual_warm_start=bool(self.cfg.solver.get("dual_warm_start", False)),
+            )
         self.x0 = x0
 
     def set_ref(self, ref, k: int):

@@ -54,10 +54,40 @@ class QpData(NamedTuple):
     ub: jax.Array  # (nz,) box upper
 
 
+class QpDuals(NamedTuple):
+    """Full interior-point state for warm starting the next (re-linearized)
+    QP: slacks + all six dual families.  Row structure is tick-invariant, so
+    carrying these across RTI ticks lets a small iteration budget re-converge
+    a slightly-changed QP (acados qp_solver_warm_start=2 analogue)."""
+
+    sl: jax.Array
+    su: jax.Array
+    lam_l: jax.Array
+    lam_u: jax.Array
+    gam_l: jax.Array
+    gam_u: jax.Array
+    nu_l: jax.Array
+    nu_u: jax.Array
+
+
 class QpResult(NamedTuple):
     dz: jax.Array  # (nz,)
     kkt_residual: jax.Array  # scalar inf-norm of primal stationarity
     complementarity: jax.Array  # scalar final average complementarity
+    duals: QpDuals = None
+
+
+def _mu_of(qp, lh, uh, dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u, n_terms):
+    w = qp.c0 + qp.C @ dz
+    total = jnp.dot(dz - qp.lb, nu_l) + jnp.dot(qp.ub - dz, nu_u)
+    if qp.c0.shape[0]:
+        total = total + (
+            jnp.dot(w + sl - lh, lam_l)
+            + jnp.dot(uh + su - w, lam_u)
+            + jnp.dot(sl, gam_l)
+            + jnp.dot(su, gam_u)
+        )
+    return total / n_terms
 
 
 def solve_qp(
@@ -67,6 +97,7 @@ def solve_qp(
     box_margin: float = 1e-6,
     eps_min: float = 0.0,  # kept for call compatibility; unused
     chol_impl: str = "auto",
+    warm_duals: QpDuals = None,
 ) -> QpResult:
     """Solve one condensed QP (`iters` predictor-corrector iterations).
     vmap over a leading batch axis for scenarios.
@@ -109,14 +140,32 @@ def solve_qp(
     n_terms = 2 * nz + 4 * nc
 
     w0 = qp.c0 + qp.C @ dz
-    sl = jnp.maximum(lh - w0, 0.0) + 0.1
-    su = jnp.maximum(w0 - uh, 0.0) + 0.1
-    lam_l = mu / (w0 + sl - lh)
-    lam_u = mu / (uh + su - w0)
-    gam_l = mu / sl
-    gam_u = mu / su
-    nu_l = mu / (dz - qp.lb)
-    nu_u = mu / (qp.ub - dz)
+    if warm_duals is None:
+        sl = jnp.maximum(lh - w0, 0.0) + 0.1
+        su = jnp.maximum(w0 - uh, 0.0) + 0.1
+        lam_l = mu / (w0 + sl - lh)
+        lam_u = mu / (uh + su - w0)
+        gam_l = mu / sl
+        gam_u = mu / su
+        nu_l = mu / (dz - qp.lb)
+        nu_u = mu / (qp.ub - dz)
+    else:
+        # previous tick's IP state; re-feasibilize slacks against the new rows
+        # and floor everything strictly positive
+        d = warm_duals
+        sl = jnp.maximum(jnp.maximum(d.sl, lh - w0 + 1e-6), p_floor)
+        su = jnp.maximum(jnp.maximum(d.su, w0 - uh + 1e-6), p_floor)
+        lam_l = jnp.maximum(d.lam_l, d_floor)
+        lam_u = jnp.maximum(d.lam_u, d_floor)
+        gam_l = jnp.maximum(d.gam_l, d_floor)
+        gam_u = jnp.maximum(d.gam_u, d_floor)
+        nu_l = jnp.maximum(d.nu_l, d_floor)
+        nu_u = jnp.maximum(d.nu_u, d_floor)
+        mu = jnp.maximum(
+            _mu_of(qp, lh, uh, dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u,
+                   n_terms),
+            mu_min,
+        )
 
     def _max_step(v, dv):
         """Largest alpha with v + alpha*dv > 0 (elementwise min)."""
@@ -124,16 +173,8 @@ def solve_qp(
         return jnp.min(ratio) if ratio.size else jnp.asarray(jnp.inf, v.dtype)
 
     def _compl(dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u):
-        w = qp.c0 + qp.C @ dz
-        total = jnp.dot(dz - qp.lb, nu_l) + jnp.dot(qp.ub - dz, nu_u)
-        if nc:
-            total = total + (
-                jnp.dot(w + sl - lh, lam_l)
-                + jnp.dot(uh + su - w, lam_u)
-                + jnp.dot(sl, gam_l)
-                + jnp.dot(su, gam_u)
-            )
-        return total / n_terms
+        return _mu_of(qp, lh, uh, dz, sl, su, lam_l, lam_u, gam_l, gam_u,
+                      nu_l, nu_u, n_terms)
 
     def body(carry, _):
         dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u, mu = carry
@@ -273,4 +314,7 @@ def solve_qp(
 
     stationarity = qp.H @ dz + qp.g - qp.C.T @ (lam_l - lam_u) - nu_l + nu_u
     kkt = jnp.max(jnp.abs(stationarity))
-    return QpResult(dz=dz, kkt_residual=kkt, complementarity=mu)
+    return QpResult(
+        dz=dz, kkt_residual=kkt, complementarity=mu,
+        duals=QpDuals(sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u),
+    )

@@ -32,7 +32,7 @@ import numpy as np
 
 from ..ocp import OcpSpec
 from .integrator import erk4_with_sensitivities
-from .qp import QpData, QpResult, solve_qp
+from .qp import QpData, QpDuals, QpResult, solve_qp
 
 STATUS_OK = 0
 STATUS_NAN = 1
@@ -40,10 +40,14 @@ STATUS_NOT_CONVERGED = 2  # KKT residual above cfg.solver.kkt_tol (state kept)
 
 
 class SolverState(NamedTuple):
-    """Warm-start carry: the multiple-shooting trajectory iterate."""
+    """Warm-start carry: the multiple-shooting trajectory iterate, plus
+    (optionally, cfg.solver.dual_warm_start) the QP interior-point state —
+    carrying duals across ticks lets a small iteration budget re-converge the
+    re-linearized QP (acados qp_solver_warm_start=2 analogue)."""
 
     X: jax.Array  # (N+1, nx)
     U: jax.Array  # (N, nu)
+    qp_duals: Optional[QpDuals] = None
 
 
 class SolveInputs(NamedTuple):
@@ -67,12 +71,23 @@ class SolveResult(NamedTuple):
     evals: Optional[jax.Array]  # (N+1, neval) diagnostics or None
 
 
-def init_state(ocp: OcpSpec, x0, dtype=jnp.float32) -> SolverState:
+def init_state(ocp: OcpSpec, x0, dtype=jnp.float32,
+               dual_warm_start: bool = False) -> SolverState:
     """Fill all nodes with x0 / u_hover (reference ocp.py:144-149)."""
     x0 = jnp.asarray(x0, dtype)
+    duals = None
+    if dual_warm_start:
+        nc = ocp.N * ocp.nh + ocp.nhN
+        nz = ocp.N * ocp.nu
+        c1 = jnp.full((nc,), 0.1, dtype)
+        d1 = jnp.ones((nc,), dtype)
+        z1 = jnp.ones((nz,), dtype)
+        duals = QpDuals(sl=c1, su=c1, lam_l=d1, lam_u=d1, gam_l=d1, gam_u=d1,
+                        nu_l=z1, nu_u=z1)
     return SolverState(
         X=jnp.tile(x0[None, :], (ocp.N + 1, 1)),
         U=jnp.tile(jnp.asarray(ocp.u_hover, dtype)[None, :], (ocp.N, 1)),
+        qp_duals=duals,
     )
 
 
@@ -84,7 +99,7 @@ def shift_state(state: SolverState, k: int) -> SolverState:
     X, U = state.X, state.U
     X = X.at[:-k].set(X[k:]) if k < X.shape[0] else X
     U = U.at[:-k].set(U[k:]) if k < U.shape[0] else U
-    return SolverState(X=X, U=U)
+    return SolverState(X=X, U=U, qp_duals=state.qp_duals)
 
 
 def _scatter_blocks(N: int, nu: int, dtype) -> np.ndarray:
@@ -294,11 +309,13 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True):
             lb=(lbu[None, :] - U).reshape(nz),
             ub=(ubu[None, :] - U).reshape(nz),
         )
+        dual_ws = bool(cfg.solver.get("dual_warm_start", False))
         qp_res: QpResult = solve_qp(
             qp,
             iters=int(cfg.solver.qp_iters),
             mu0=float(cfg.solver.barrier_init),
             box_margin=float(cfg.solver.box_margin),
+            warm_duals=state.qp_duals if dual_ws else None,
         )
         dz = qp_res.dz
 
@@ -332,8 +349,9 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True):
             U_pad = jnp.concatenate([U_new, U_new[-1:]], axis=0)
             evals = jax.vmap(ocp.eval_fn)(X_new, U_pad, p)
 
+        new_duals = qp_res.duals if (state.qp_duals is not None) else None
         return SolveResult(
-            state=SolverState(X=X_new, U=U_new),
+            state=SolverState(X=X_new, U=U_new, qp_duals=new_duals),
             u0=U_new[0],
             status=status,
             kkt_residual=qp_res.kkt_residual,
