@@ -75,7 +75,7 @@ def main():
     print(f"  mean  {errs.mean():.2e}")
     print("  contract: <= 1e-3 typical (BASELINE); cold starts are the hardest")
     print("  (warm-tick error at the default budget is ~1e-4, see docs/performance.md)")
-    assert errs.mean() <= 1.5e-3 and errs.max() <= 1e-2, "accuracy regression"
+    assert errs.mean() <= 3e-4 and errs.max() <= 2e-3, "accuracy regression"
     print("OK")
 
 

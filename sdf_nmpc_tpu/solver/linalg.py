@@ -176,6 +176,81 @@ def cho_solve_batched(L, rhs, nb: int = 16, Linv=None):
     return jnp.concatenate(xs, axis=-1)
 
 
+def cho_solve_batched_mrhs(L, RHS, nb: int = 16, Linv=None):
+    """Solve M X = RHS for matrix RHS given L = cholesky_batched(M).
+
+    L (..., n, n), RHS (..., n, k) -> X (..., n, k).  Identical block
+    recursion to cho_solve_batched but every substitution step is a
+    (..., nb, k) GEMM — one fused multi-rhs sweep instead of k vmapped
+    scalar-substitution chains (the Woodbury stiff-row solves in
+    solver/qp.py are k~16 rhs per factorization)."""
+    n = L.shape[-1]
+    nblk = n // nb
+
+    ys = []
+    for kk in range(nblk):
+        r0 = kk * nb
+        b = RHS[..., r0 : r0 + nb, :]
+        for m_idx in range(kk):
+            b = b - jnp.einsum(
+                "...ij,...jk->...ik",
+                L[..., r0 : r0 + nb, m_idx * nb : (m_idx + 1) * nb],
+                ys[m_idx],
+            )
+        if Linv is not None:
+            ys.append(jnp.einsum("...ij,...jk->...ik", Linv[..., kk, :, :], b))
+        else:
+            ys.append(
+                jnp.stack(
+                    [
+                        _solve_small_lower(
+                            L[..., r0 : r0 + nb, r0 : r0 + nb], b[..., j], nb
+                        )
+                        for j in range(b.shape[-1])
+                    ],
+                    axis=-1,
+                )
+            )
+    y = jnp.concatenate(ys, axis=-2)
+
+    xs = [None] * nblk
+    for kk in reversed(range(nblk)):
+        r0 = kk * nb
+        b = y[..., r0 : r0 + nb, :]
+        for m_idx in range(kk + 1, nblk):
+            b = b - jnp.einsum(
+                "...ji,...jk->...ik",
+                L[..., m_idx * nb : (m_idx + 1) * nb, r0 : r0 + nb],
+                xs[m_idx],
+            )
+        if Linv is not None:
+            xs[kk] = jnp.einsum("...ji,...jk->...ik", Linv[..., kk, :, :], b)
+        else:
+            xs[kk] = jnp.stack(
+                [
+                    _solve_small_upper_t(
+                        L[..., r0 : r0 + nb, r0 : r0 + nb], b[..., j], nb
+                    )
+                    for j in range(b.shape[-1])
+                ],
+                axis=-1,
+            )
+    return jnp.concatenate(xs, axis=-2)
+
+
+def spd_factor_solve_mrhs(factor, n_orig: int, RHS, nb: int = 16):
+    """Matrix-RHS companion of spd_factor_solve: RHS (..., n, k)."""
+    L, Linv = factor
+    n_pad = L.shape[-1]
+    if n_pad != n_orig:
+        RHS = (
+            jnp.zeros(RHS.shape[:-2] + (n_pad, RHS.shape[-1]), RHS.dtype)
+            .at[..., :n_orig, :]
+            .set(RHS)
+        )
+    return cho_solve_batched_mrhs(L, RHS, nb, Linv=Linv)[..., :n_orig, :]
+
+
 def _pad_spd(M, nb):
     n = M.shape[-1]
     n_pad = -(-n // nb) * nb

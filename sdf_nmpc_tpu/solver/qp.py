@@ -34,7 +34,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .linalg import spd_factor_batched, spd_factor_solve
+from .linalg import spd_factor_batched, spd_factor_solve, spd_factor_solve_mrhs
 
 _BIG = 1e8  # stand-in for infinite bounds (keeps IEEE arithmetic finite)
 
@@ -77,6 +77,149 @@ class QpResult(NamedTuple):
     duals: QpDuals = None
 
 
+def _merit(qp, lh, uh, z):
+    """Exact penalized objective at z (slacks analytically minimized):
+    F(z) = 0.5 z'Hz + g'z + sum_i z1_i v_i + 0.5 z2_i v_i^2 per side, with
+    v = constraint violation.  Box bounds are hard: evaluate at the projected
+    point and add an exact-penalty distance so off-box iterates always lose."""
+    zc = jnp.clip(z, qp.lb, qp.ub)
+    f = 0.5 * zc @ (qp.H @ zc) + qp.g @ zc
+    if qp.c0.shape[0]:
+        w = qp.c0 + qp.C @ zc
+        vl = jnp.maximum(lh - w, 0.0)
+        vu = jnp.maximum(w - uh, 0.0)
+        f = f + jnp.sum(qp.z1 * (vl + vu) + 0.5 * qp.z2 * (vl**2 + vu**2))
+    return f + _BIG * jnp.sum(jnp.abs(z - zc))
+
+
+def polish_qp(
+    qp: QpData,
+    dz: jax.Array,
+    duals: QpDuals,
+    k_max: int = 40,
+    delta: float = 1e-6,
+    ir_steps: int = 2,
+    chol_impl: str = "auto",
+) -> jax.Array:
+    """Active-set polish of an interior-point iterate (OSQP-style).
+
+    The fixed-budget IP identifies WHICH constraints are active long before
+    its iterate is accurate — in f32 the barrier floors (mu_min, gap
+    cancellation, ratio caps) leave O(1e-2) error on hard instances that no
+    amount of iterations or iterative refinement removes (measured,
+    docs/performance.md).  Polish instead solves the equality-constrained
+    KKT system on the classified active set EXACTLY:
+
+        [ H     -Cs^T ] [z]   [-g  ]      Cs = signed active rows
+        [ Cs     D    ] [y] = [rhs ]      D  = 1/z2 (slack-engaged soft row),
+                                               delta (hard-active row)
+
+    via a Schur complement on the k_max selected rows: S = Cs H^-1 Cs^T + D
+    is SPD with benign conditioning (no barrier terms anywhere), so the f32
+    factorizations are accurate; two refinement sweeps push the augmented
+    residual to roundoff.  Classification per row/side: active if dual > gap
+    (ratio > 1); slack engaged if dual > z1 (KKT: lam = z1 + z2*s when s>0).
+    Inert slots are padded with an identity row so shapes stay static.
+
+    Returns the polished z ONLY — callers pick min-merit(_merit) vs the IP
+    iterate, so a misclassified active set can never make the result worse.
+    vmap over a leading batch axis for scenarios.
+    """
+    if chol_impl == "auto":
+        chol_impl = "custom" if jax.default_backend() == "tpu" else "xla"
+    use_custom = chol_impl == "custom"
+    dtype = qp.g.dtype
+    nz = qp.g.shape[0]
+    nc = qp.c0.shape[0]
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny**0.5, dtype)
+
+    lh = jnp.maximum(qp.lh, -_BIG)
+    uh = jnp.minimum(qp.uh, _BIG)
+
+    # ---- candidate rows: (lower, upper) x (general, box) ----
+    bl = jnp.maximum(dz - qp.lb, tiny)
+    bu = jnp.maximum(qp.ub - dz, tiny)
+    if nc:
+        w = qp.c0 + qp.C @ dz
+        tl = jnp.maximum(w + duals.sl - lh, tiny)
+        tu = jnp.maximum(uh + duals.su - w, tiny)
+        score_gen = jnp.concatenate([duals.lam_l / tl, duals.lam_u / tu])
+        eng_l = (duals.lam_l > qp.z1) & (qp.z2 > 0)
+        eng_u = (duals.lam_u > qp.z1) & (qp.z2 > 0)
+        safe_z2 = jnp.where(qp.z2 > 0, qp.z2, 1.0)
+        d_gen = jnp.concatenate(
+            [
+                jnp.where(eng_l, 1.0 / safe_z2, delta),
+                jnp.where(eng_u, 1.0 / safe_z2, delta),
+            ]
+        )
+        rhs_gen = jnp.concatenate(
+            [
+                (lh - qp.c0) + jnp.where(eng_l, qp.z1 / safe_z2, 0.0),
+                -(uh - qp.c0) + jnp.where(eng_u, qp.z1 / safe_z2, 0.0),
+            ]
+        )
+    else:
+        score_gen = jnp.zeros(0, dtype)
+        d_gen = jnp.zeros(0, dtype)
+        rhs_gen = jnp.zeros(0, dtype)
+    score = jnp.concatenate(
+        [score_gen, duals.nu_l / bl, duals.nu_u / bu]
+    )  # (2nc + 2nz,)
+    d_all = jnp.concatenate(
+        [d_gen, jnp.full(nz, delta, dtype), jnp.full(nz, delta, dtype)]
+    )
+    rhs_all = jnp.concatenate([rhs_gen, qp.lb, -qp.ub])
+
+    k_max = min(k_max, 2 * nc + 2 * nz)
+    active = score > 1.0
+    _, idx = jax.lax.top_k(jnp.where(active, score, -jnp.inf), k_max)
+    sel_active = jnp.take(active, idx)
+
+    # gather signed rows without materializing the (2nc+2nz, nz) stack
+    is_gen = idx < 2 * nc
+    gidx = jnp.where(is_gen, idx % max(nc, 1), 0)
+    sign = jnp.where((idx < nc) | ((idx >= 2 * nc) & (idx < 2 * nc + nz)), 1.0, -1.0)
+    bidx = jnp.clip(idx - 2 * nc, 0, 2 * nz - 1) % nz
+    rows_gen = qp.C[gidx] if nc else jnp.zeros((k_max, nz), dtype)
+    rows_box = jax.nn.one_hot(bidx, nz, dtype=dtype)
+    Cs = sign[:, None] * jnp.where(is_gen[:, None], rows_gen, rows_box)
+    Cs = jnp.where(sel_active[:, None], Cs, 0.0)
+    D = jnp.where(sel_active, jnp.take(d_all, idx), 1.0)
+    rhs = jnp.where(sel_active, jnp.take(rhs_all, idx), 0.0)
+
+    # ---- Schur solve on the active set ----
+    jitter = 10 * jnp.finfo(dtype).eps * (1.0 + jnp.max(jnp.abs(jnp.diag(qp.H))))
+    Hj = qp.H + jitter * jnp.eye(nz, dtype=dtype)
+    if use_custom:
+        Hf, n_orig = spd_factor_batched(Hj)
+        h_solve = lambda b: spd_factor_solve(Hf, n_orig, b)
+    else:
+        Lh = jnp.linalg.cholesky(Hj)
+        h_solve = lambda b: jax.scipy.linalg.cho_solve((Lh, True), b)
+
+    X = jax.vmap(h_solve)(Cs)  # (k, nz): H^-1 Cs_i
+    S = Cs @ X.T + jnp.diag(D)
+    S = 0.5 * (S + S.T)
+    if use_custom:
+        Sf, s_orig = spd_factor_batched(S)
+        s_solve = lambda b: spd_factor_solve(Sf, s_orig, b)
+    else:
+        Ls = jnp.linalg.cholesky(S)
+        s_solve = lambda b: jax.scipy.linalg.cho_solve((Ls, True), b)
+
+    hg = h_solve(qp.g)
+    y = s_solve(rhs + Cs @ hg)
+    z = h_solve(Cs.T @ y - qp.g)
+    for _ in range(ir_steps):
+        r1 = -(qp.H @ z + qp.g - Cs.T @ y)
+        r2 = rhs - (Cs @ z + D * y)
+        dy = s_solve(r2 - Cs @ h_solve(r1))
+        z = z + h_solve(r1 + Cs.T @ dy)
+        y = y + dy
+    return jnp.where(jnp.all(jnp.isfinite(z)), z, dz)
+
+
 def _mu_of(qp, lh, uh, dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u, n_terms):
     w = qp.c0 + qp.C @ dz
     total = jnp.dot(dz - qp.lb, nu_l) + jnp.dot(qp.ub - dz, nu_u)
@@ -98,6 +241,13 @@ def solve_qp(
     eps_min: float = 0.0,  # kept for call compatibility; unused
     chol_impl: str = "auto",
     warm_duals: QpDuals = None,
+    ir_steps: int = 1,
+    compute_dtype=None,
+    ratio_cap_override: float = None,
+    polish: bool = False,
+    polish_k: int = 40,
+    k_stiff: int = 16,
+    stiff_iters: int = None,
 ) -> QpResult:
     """Solve one condensed QP (`iters` predictor-corrector iterations).
     vmap over a leading batch axis for scenarios.
@@ -106,15 +256,31 @@ def solve_qp(
     'xla' (jnp.linalg), or 'auto' (custom on TPU — where XLA's batched
     Cholesky measured 72% of the whole RTI step — XLA elsewhere, where its
     factorization is fine and the unrolled custom path only inflates compile
-    time)."""
+    time).
+
+    ir_steps: iterative-refinement sweeps on each Newton solve.  The soft-
+    constraint penalty weights push cond(M) to where an f32 factorization
+    alone costs ~5e-3 absolute u0 error (measured; the rest of the pipeline
+    in f32 contributes only ~2e-6).  Each sweep is one (nz,nz) matvec + one
+    reused-factor solve — O(n^2), noise next to the O(n^3) factorization —
+    and drops the floor by ~an order of magnitude per sweep.
+
+    compute_dtype: numerics-attribution hook — if set, the IP vector
+    arithmetic (residuals, gaps, Schur coefficients, updates) runs in this
+    dtype while the factorization+solve stay in the data dtype.  Used by
+    attribution experiments (docs/performance.md); None for production."""
     del eps_min
     if chol_impl == "auto":
         chol_impl = "custom" if jax.default_backend() == "tpu" else "xla"
-    use_custom = chol_impl == "custom" 
+    use_custom = chol_impl == "custom"
+    factor_dtype = qp.g.dtype
+    if compute_dtype is not None:
+        qp = QpData(*[jnp.asarray(v, compute_dtype) for v in qp])
+        if warm_duals is not None:
+            warm_duals = QpDuals(*[jnp.asarray(v, compute_dtype) for v in warm_duals])
     nz = qp.g.shape[0]
     nc = qp.c0.shape[0]
     dtype = qp.g.dtype
-    eye = jnp.eye(nz, dtype=dtype)
 
     lh = jnp.maximum(qp.lh, -_BIG)
     uh = jnp.minimum(qp.uh, _BIG)
@@ -129,14 +295,18 @@ def solve_qp(
     )
     mu = jnp.asarray(mu0, dtype)
     tau = jnp.asarray(0.995, dtype)
-    # floors keeping divisions away from underflow for the dtype
-    mu_min = jnp.asarray(1e3 * jnp.finfo(dtype).eps, dtype)
+    # floors keeping divisions away from underflow for the dtype (the stiff-
+    # row split tolerates much smaller gaps than a capped Schur form did)
+    mu_min = jnp.asarray(32 * jnp.finfo(dtype).eps, dtype)
     p_floor = mu_min * 1e-2
     d_floor = jnp.asarray(1e-14, dtype)
     # cap on dual/slack ratios entering the Schur complement: active rows with
     # large penalty duals otherwise push the Newton-matrix condition number
     # past what the dtype can factorize (f32 especially)
-    ratio_cap = jnp.asarray(0.1 / jnp.finfo(dtype).eps, dtype)
+    ratio_cap = jnp.asarray(
+        0.1 / jnp.finfo(dtype).eps if ratio_cap_override is None else ratio_cap_override,
+        dtype,
+    )
     n_terms = 2 * nz + 4 * nc
 
     w0 = qp.c0 + qp.C @ dz
@@ -176,38 +346,146 @@ def solve_qp(
         return _mu_of(qp, lh, uh, dz, sl, su, lam_l, lam_u, gam_l, gam_u,
                       nu_l, nu_u, n_terms)
 
-    def body(carry, _):
-        dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u, mu = carry
+    def make_body(k_stiff_eff: int):
+      def body(carry, _):
+        (dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u, mu,
+         best_dz, best_m) = carry
+        k_stiff = k_stiff_eff
 
+        # gaps below their own floating-point cancellation noise are
+        # meaningless — flooring there (not at `tiny`) keeps the barrier
+        # ratios finite AND faithful to what the dtype can actually resolve
+        eps = jnp.finfo(dtype).eps
         w = qp.c0 + qp.C @ dz
-        tl = w + sl - lh
-        tu = uh + su - w
-        bl = dz - qp.lb
-        bu = qp.ub - dz
+        tl = jnp.maximum(w + sl - lh, 4 * eps * (1.0 + jnp.abs(w) + sl))
+        tu = jnp.maximum(uh + su - w, 4 * eps * (1.0 + jnp.abs(w) + su))
+        bl = jnp.maximum(dz - qp.lb, 4 * eps * (1.0 + jnp.abs(dz)))
+        bu = jnp.maximum(qp.ub - dz, 4 * eps * (1.0 + jnp.abs(dz)))
 
         # residuals of the KKT stationarity rows
         r_z = qp.H @ dz + qp.g - qp.C.T @ (lam_l - lam_u) - nu_l + nu_u
         r_sl = z1 + z2 * sl - lam_l - gam_l
         r_su = z1 + z2 * su - lam_u - gam_u
 
-        # Schur coefficients (shared by both directions)
-        ql = jnp.minimum(lam_l / tl, ratio_cap)
-        qu = jnp.minimum(lam_u / tu, ratio_cap)
-        pl = jnp.minimum(gam_l / sl, ratio_cap)
-        pu = jnp.minimum(gam_u / su, ratio_cap)
+        # ---- stiff-row split ----
+        # Newton matrix M = H + C'·diag(eta)·C + diag(rb).  Near-active rows
+        # drive eta -> lam/gap ~ 1/mu^2-scale; folding them into M makes its
+        # f32 factorization meaningless (measured: the entire f32 accuracy
+        # floor of the solver, docs/performance.md).  Instead the k_stiff
+        # largest-eta rows are EXCLUDED from the factored matrix A and applied
+        # exactly through the Woodbury identity
+        #   M^-1 b = A^-1 b - A^-1 Cs' T^-1 Cs A^-1 b,
+        #   T = diag(1/eta_s) + Cs A^-1 Cs'
+        # (the well-conditioned augmented-KKT form of the same system): A's
+        # conditioning is bounded by the (k_stiff+1)-th eta and T's by
+        # cond(A)-scale — both f32-friendly regardless of how active the
+        # stiff rows get.  Mild (non-selected) rows keep the ratio_cap
+        # backstop, applied to the RATIOS so the Newton system stays
+        # self-consistent (matrix, rhs and recovery all see the same
+        # coefficients).  Stiff BOX ratios are left exact: they only enlarge
+        # diagonal entries, which is benign for a Cholesky factorization.
+        ql_raw = lam_l / tl
+        qu_raw = lam_u / tu
+        pl_raw = gam_l / sl
+        pu_raw = gam_u / su
+
+        def _eta_of(ql_, qu_, pl_, pu_):
+            d_l_ = z2 + ql_ + pl_
+            d_u_ = z2 + qu_ + pu_
+            return ql_ * (z2 + pl_) / d_l_ + qu_ * (z2 + pu_) / d_u_
+
+        k_s = min(k_stiff, nc)
+        if k_s > 0:
+            eta_raw = _eta_of(ql_raw, qu_raw, pl_raw, pu_raw)
+            _, sidx = jax.lax.top_k(eta_raw, k_s)
+            stiff = jnp.zeros((nc,), bool).at[sidx].set(True)
+            Cs = qp.C[sidx]  # (k_s, nz)
+            cap = jnp.where(stiff, jnp.inf, ratio_cap)
+        else:
+            cap = ratio_cap
+        ql = jnp.minimum(ql_raw, cap)
+        qu = jnp.minimum(qu_raw, cap)
+        pl = jnp.minimum(pl_raw, cap)
+        pu = jnp.minimum(pu_raw, cap)
         d_l = z2 + ql + pl
         d_u = z2 + qu + pu
         eta_l = ql * (z2 + pl) / d_l
         eta_u = qu * (z2 + pu) / d_u
-        rbl = jnp.minimum(nu_l / bl, ratio_cap)
-        rbu = jnp.minimum(nu_u / bu, ratio_cap)
+        eta = eta_l + eta_u
+        rbl = nu_l / bl
+        rbu = nu_u / bu
+        rb = rbl + rbu
 
-        M = qp.H + (qp.C.T * (eta_l + eta_u)) @ qp.C + jnp.diag(rbl + rbu)
-        jitter = 10 * jnp.finfo(dtype).eps * (1.0 + jnp.max(jnp.diag(M)))
-        if use_custom:
-            L, n_orig = spd_factor_batched(M + jitter * eye)
+        if k_s > 0:
+            d_s = eta[sidx]  # exact (uncapped) stiff coefficients
+            eta_mild = jnp.where(stiff, 0.0, eta)
         else:
-            L, n_orig = jnp.linalg.cholesky(M + jitter * eye), nz
+            eta_mild = eta
+        if nc:
+            A = qp.H + (qp.C.T * eta_mild) @ qp.C + jnp.diag(rb)
+        else:
+            A = qp.H + jnp.diag(rb)
+        # relative jitter: scale-invariant, does not drown mild rows when the
+        # diagonal carries huge (benign) box entries
+        diagA = jnp.diag(A)
+        A = A + jnp.diag(10 * jnp.finfo(factor_dtype).eps * (jnp.abs(diagA) + 1.0))
+        Af = jnp.asarray(A, factor_dtype)
+        if use_custom:
+            L, n_orig = spd_factor_batched(Af)
+            a_solve = lambda b: spd_factor_solve(
+                L, n_orig, jnp.asarray(b, factor_dtype)
+            ).astype(dtype)
+        else:
+            L = jnp.linalg.cholesky(Af)
+            a_solve = lambda b: jax.scipy.linalg.cho_solve(
+                (L, True), jnp.asarray(b, factor_dtype)
+            ).astype(dtype)
+
+        if k_s > 0:
+            # multi-rhs solve: every substitution step is a (nb, k_s) GEMM
+            # (batched over scenarios), not k_s separate substitution chains
+            CsT = jnp.asarray(Cs.T, factor_dtype)
+            if use_custom:
+                Xs = spd_factor_solve_mrhs(L, n_orig, CsT).astype(dtype).T
+            else:
+                Xs = jax.scipy.linalg.cho_solve((L, True), CsT).astype(dtype).T
+            d_s_inv = jnp.minimum(1.0 / jnp.maximum(d_s, 1e-30), 1e30)
+            T = Cs @ Xs.T + jnp.diag(d_s_inv)
+            T = T + jnp.diag(
+                10 * jnp.finfo(factor_dtype).eps * (jnp.abs(jnp.diag(T)) + 1e-30)
+            )
+            Tf = jnp.asarray(T, factor_dtype)
+            if use_custom:
+                Lt, t_orig = spd_factor_batched(Tf)
+                t_solve = lambda b: spd_factor_solve(
+                    Lt, t_orig, jnp.asarray(b, factor_dtype)
+                ).astype(dtype)
+            else:
+                Lt = jnp.linalg.cholesky(Tf)
+                t_solve = lambda b: jax.scipy.linalg.cho_solve(
+                    (Lt, True), jnp.asarray(b, factor_dtype)
+                ).astype(dtype)
+
+        def _m_apply(x):
+            """Exact Newton-matrix product (mild rows capped, stiff exact)."""
+            out = qp.H @ x + rb * x
+            if nc:
+                out = out + qp.C.T @ (eta_mild * (qp.C @ x))
+            if k_s > 0:
+                out = out + Cs.T @ (d_s * (Cs @ x))
+            return out
+
+        def _newton_solve(rhs):
+            def sol(b):
+                x = a_solve(b)
+                if k_s > 0:
+                    x = x - Xs.T @ t_solve(Cs @ x)
+                return x
+
+            x = sol(rhs)
+            for _ in range(ir_steps):
+                x = x + sol(rhs - _m_apply(x))
+            return x
 
         def direction(m_tl, m_tu, m_sl, m_su, m_bl, m_bu):
             """Newton direction for given per-pair complementarity targets.
@@ -224,10 +502,7 @@ def solve_qp(
                 + (m_bl / bl - nu_l)
                 - (m_bu / bu - nu_u)
             )
-            if use_custom:
-                ddz = spd_factor_solve(L, n_orig, rhs)
-            else:
-                ddz = jax.scipy.linalg.cho_solve((L, True), rhs)
+            ddz = _newton_solve(rhs)
             ddz = jnp.where(jnp.all(jnp.isfinite(ddz)), ddz, jnp.zeros_like(ddz))
             dw = qp.C @ ddz
             dsl = (b_l - ql * dw) / d_l
@@ -305,16 +580,61 @@ def solve_qp(
         nu_u = jnp.maximum(nu_u + alpha * dnu_u, d_floor)
 
         mu = jnp.maximum(_compl(dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u), mu_min)
-        return (dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u, mu), None
 
-    carry0 = (dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u, mu)
-    (dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u, mu), _ = jax.lax.scan(
-        body, carry0, None, length=iters
-    )
+        # best-iterate tracking: near the dtype's resolution the floored-gap
+        # barrier can wander; keeping the argmin of the EXACT penalized
+        # objective makes extra iterations monotonically harmless.  Cost: one
+        # (nz,nz) matvec per iteration — noise next to the factorization.
+        m_new = _merit(qp, lh, uh, dz)
+        better = m_new < best_m
+        best_dz = jnp.where(better, dz, best_dz)
+        best_m = jnp.minimum(m_new, best_m)
+        return (dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u, mu,
+                best_dz, best_m), None
 
-    stationarity = qp.H @ dz + qp.g - qp.C.T @ (lam_l - lam_u) - nu_l + nu_u
-    kkt = jnp.max(jnp.abs(stationarity))
+      return body
+
+    # two-phase schedule: early iterations (mu large) never hit the ratio cap,
+    # so they run the cheap capped body; the stiff Woodbury split is reserved
+    # for the last `stiff_iters` where near-active rows matter.  Halves the
+    # split's throughput cost at identical accuracy (docs/performance.md).
+    best0 = jnp.full((), jnp.inf, dtype)
+    carry = (dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u, mu, dz, best0)
+    n_stiff = min(stiff_iters if stiff_iters is not None else iters, iters)
+    n_warm = iters - n_stiff if k_stiff > 0 else iters
+    if n_warm > 0:
+        carry, _ = jax.lax.scan(make_body(0), carry, None, length=n_warm)
+    if iters - n_warm > 0:
+        carry, _ = jax.lax.scan(
+            make_body(k_stiff), carry, None, length=iters - n_warm
+        )
+    (dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u, mu, best_dz, best_m) = carry
+    dz = best_dz
+
+    duals = QpDuals(sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u)
+    # kkt reported on the IP iterate (pure IP convergence diagnostic, the
+    # acados QP-status analogue) even when polish replaces the solution.
+    # Algorithmic duals on rows whose gap sits at the floating-point floor
+    # can exceed their KKT bound lam <= z1 + z2*s (from the slack
+    # stationarity row with gam >= 0); clamping to that bound keeps the
+    # report's cancellation noise at the problem's own scale.  The hard box
+    # is scored with the projected-gradient criterion instead of its
+    # (unbounded) duals.
+    lam_l_r = jnp.minimum(lam_l, z1 + z2 * sl)
+    lam_u_r = jnp.minimum(lam_u, z1 + z2 * su)
+    grad_lag = qp.H @ dz + qp.g - qp.C.T @ (lam_l_r - lam_u_r)
+    kkt = jnp.max(jnp.abs(dz - jnp.clip(dz - grad_lag, qp.lb, qp.ub)))
+    if polish:
+        # active-set polish (see polish_qp): exact KKT solve on the
+        # classified active set, kept only if it improves the exact
+        # penalized objective — removes the f32 IP floor at ~1 extra
+        # factorization of cost, and makes a small iteration budget accurate
+        k = min(polish_k, 2 * nc + 2 * nz)
+        dz_p = polish_qp(qp, dz, duals, k_max=k, chol_impl=chol_impl)
+        dz_p = jnp.clip(dz_p, qp.lb, qp.ub)
+        better = _merit(qp, lh, uh, dz_p) < _merit(qp, lh, uh, dz)
+        dz = jnp.where(better, dz_p, dz)
     return QpResult(
         dz=dz, kkt_residual=kkt, complementarity=mu,
-        duals=QpDuals(sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u),
+        duals=duals,
     )

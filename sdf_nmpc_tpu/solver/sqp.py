@@ -316,6 +316,9 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True):
             mu0=float(cfg.solver.barrier_init),
             box_margin=float(cfg.solver.box_margin),
             warm_duals=state.qp_duals if dual_ws else None,
+            ir_steps=int(cfg.solver.get("ir_steps", 0)),
+            k_stiff=int(cfg.solver.get("qp_stiff_k", 16)),
+            stiff_iters=cfg.solver.get("qp_stiff_iters", None),
         )
         dz = qp_res.dz
 

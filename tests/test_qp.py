@@ -150,3 +150,80 @@ def test_batched_vmap():
     res = jax.vmap(lambda q: solve_qp(q, iters=30))(batch)
     expect = np.stack([-np.linalg.solve(H, g) for H, g in zip(Hs, gs)])
     np.testing.assert_allclose(np.asarray(res.dz), expect, atol=1e-6)
+
+
+def test_stiff_rows_f32_accuracy():
+    """The stiff-row Woodbury split + noise-aware gap floors + best-iterate
+    tracking keep f32 accurate on QPs with huge penalty weights and many
+    active rows — the regime where a capped-Schur f32 IP loses ~1e-2
+    (docs/performance.md)."""
+    rng = np.random.default_rng(7)
+    n, nc = 12, 10
+    A = rng.normal(size=(n, n))
+    Q, _ = np.linalg.qr(A)
+    H = Q @ np.diag(np.linspace(1.0, 100.0, n)) @ Q.T
+    g = rng.normal(size=n) * 3
+    C = rng.normal(size=(nc, n))
+    c0 = rng.normal(size=nc)
+    lh = -0.05 * np.ones(nc)
+    uh = 0.05 * np.ones(nc)
+    z1 = np.full(nc, 1e3)
+    z2 = np.full(nc, 1e4)
+    lb, ub = -0.6 * np.ones(n), 0.6 * np.ones(n)
+
+    qp64 = _qp(H, g, C, c0, lh, uh, z1, z2, lb, ub)
+    ref = np.asarray(solve_qp(qp64, iters=40).dz)
+    qp32 = QpData(*[jnp.asarray(v, jnp.float32) for v in qp64])
+    res32 = solve_qp(qp32, iters=24, k_stiff=8)
+    err = np.abs(np.asarray(res32.dz, np.float64) - ref).max()
+    # without the split (everything capped into the Schur matrix): must still
+    # run (backstop path) but loses precision on this stiff instance
+    res_ns = solve_qp(qp32, iters=24, k_stiff=0)
+    err_ns = np.abs(np.asarray(res_ns.dz, np.float64) - ref).max()
+    assert np.all(np.isfinite(np.asarray(res_ns.dz)))
+    assert err < 5e-3, err
+    assert err < err_ns / 3, (err, err_ns)
+
+
+def test_polish_exact_on_clean_active_sets():
+    """polish_qp recovers the exact solution when the active set is clean:
+    engaged soft rows, kink (hard-active) rows, and active box bounds."""
+    from sdf_nmpc_tpu.solver.qp import polish_qp
+
+    cases = [
+        # (C, lh, uh, z1, z2, expect) for H=I, g=(-1,-1): soft upper engaged
+        (np.array([[1.0, 0.0]]), [-1e9], [0.5], [0.1], [1.0], [0.7, 1.0]),
+        # kink upper: big L1 weight -> exact boundary
+        (np.array([[1.0, 0.0]]), [-1e9], [0.5], [10.0], [100.0], [0.5, 1.0]),
+    ]
+    for C, lh, uh, z1, z2, expect in cases:
+        qp = _qp(np.eye(2), [-1.0, -1.0], C, np.zeros(1), lh, uh, z1, z2,
+                 -10 * np.ones(2), 10 * np.ones(2))
+        res = solve_qp(qp, iters=40)
+        dz_p = polish_qp(qp, res.dz, res.duals, k_max=4, chol_impl="xla")
+        np.testing.assert_allclose(np.asarray(dz_p), expect, atol=5e-6)
+    # active box bound
+    qp = _qp(np.eye(2), [-1.0, -1.0], lb=-np.ones(2), ub=np.array([0.25, 10.0]))
+    res = solve_qp(qp, iters=40)
+    from sdf_nmpc_tpu.solver.qp import polish_qp as _p
+
+    dz_p = _p(qp, res.dz, res.duals, k_max=4, chol_impl="xla")
+    np.testing.assert_allclose(np.asarray(dz_p), [0.25, 1.0], atol=5e-6)
+
+
+def test_best_iterate_monotone_in_budget():
+    """Extra iterations can only help (best-merit iterate is returned)."""
+    n, nc = 8, 6
+    H = random_spd(n)
+    g = RNG.normal(size=n)
+    C = RNG.normal(size=(nc, n))
+    c0 = RNG.normal(size=nc)
+    qp = _qp(H, g, C, c0, -0.1 * np.ones(nc), 0.1 * np.ones(nc),
+             np.full(nc, 1e3), np.full(nc, 1e4))
+    qp32 = QpData(*[jnp.asarray(v, jnp.float32) for v in qp])
+    ref = np.asarray(solve_qp(qp, iters=40).dz)
+    errs = [
+        np.abs(np.asarray(solve_qp(qp32, iters=it).dz, np.float64) - ref).max()
+        for it in (24, 48)
+    ]
+    assert errs[1] <= errs[0] * 2 + 1e-5, errs  # no late-iteration blowup
