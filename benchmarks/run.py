@@ -47,11 +47,13 @@ def _timeit(fn, *args, repeat=REPEAT):
     return float(np.median(ts)), float(np.percentile(ts, 99)), out
 
 
-def setup(enable_sdf=True, latent=128, batch=1):
+def setup(enable_sdf=True, latent=128, batch=1, solver=None):
     from __graft_entry__ import _build
 
-    overrides = None if enable_sdf else dict(flags=dict(enable_sdf=False))
-    return _build(cfg_overrides=overrides, latent=latent, batch=batch)
+    overrides = {} if enable_sdf else dict(flags=dict(enable_sdf=False))
+    if solver:
+        overrides = dict(overrides, solver=solver)
+    return _build(cfg_overrides=overrides or None, latent=latent, batch=batch)
 
 
 def config1():
@@ -74,7 +76,11 @@ def config1_ondevice(k=100):
     jitted program (removes host/tunnel dispatch from the measurement)."""
     import jax
 
-    cfg, ocp, step, states, inputs = setup(enable_sdf=True, batch=1)
+    # B=1 is serial-latency bound: XLA's native Cholesky beats the
+    # batch-first custom factorization there (cfg.solver.chol_impl)
+    cfg, ocp, step, states, inputs = setup(
+        enable_sdf=True, batch=1, solver=dict(chol_impl="xla")
+    )
     st = jax.tree.map(lambda x: x[0], states)
     inp = jax.tree.map(lambda x: x[0], inputs)
 

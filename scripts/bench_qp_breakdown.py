@@ -53,12 +53,21 @@ def run(tag, overrides, patch_diag=False):
 
 
 def main():
-    t8 = run("qp_iters=8", dict(solver=dict(qp_iters=8)))
-    t4 = run("qp_iters=4", dict(solver=dict(qp_iters=4)))
-    per_iter = (t8 - t4) / 4
-    print(f"per-IP-iteration cost: {per_iter * 1e3:.1f} ms")
-    td = run("qp8 diag-solve (no chol)", dict(solver=dict(qp_iters=8)), patch_diag=True)
-    print(f"cholesky+trisolve share @8 iters: {(t8 - td) * 1e3:.1f} ms of {t8 * 1e3:.1f} ms")
+    # default two-phase schedule: isolate warm vs stiff iteration costs
+    t_def = run("default (20it, 8 stiff)", None)
+    t12w = run("12 warm only", dict(solver=dict(qp_iters=12, qp_stiff_iters=0)))
+    t4w = run("4 warm only", dict(solver=dict(qp_iters=4, qp_stiff_iters=0)))
+    warm_iter = (t12w - t4w) / 8
+    print(f"per WARM iteration: {warm_iter * 1e3:.2f} ms")
+    t12_8 = run("12w + 8 stiff", dict(solver=dict(qp_iters=20, qp_stiff_iters=8)))
+    t12_4 = run("12w + 4 stiff", dict(solver=dict(qp_iters=16, qp_stiff_iters=4)))
+    stiff_iter = (t12_8 - t12_4) / 4
+    print(f"per STIFF iteration: {stiff_iter * 1e3:.2f} ms")
+    td = run("12w diag-solve (no chol)", dict(solver=dict(qp_iters=12, qp_stiff_iters=0)),
+             patch_diag=True)
+    print(f"cholesky+trisolve share @12 warm: {(t12w - td) * 1e3:.1f} ms of {t12w * 1e3:.1f} ms")
+    t0 = run("qp_iters=0 (lin+condense)", dict(solver=dict(qp_iters=1, qp_stiff_iters=0)))
+    print(f"non-QP share (lin/condense/update, ~1 iter incl.): {t0 * 1e3:.1f} ms")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,125 @@
+"""Batch-on-lanes Pallas kernels for the QP Newton systems.
+
+The condensed-QP interior point solves thousands of small (nz, nz) SPD
+systems per iteration.  XLA's lowering of the blocked batch-first
+factorization (solver/linalg.py) bounces the trailing submatrix through HBM
+on every block step and re-reads L for every triangular-solve sweep — the IP
+iteration is HBM-bound at ~15% of the chip's bandwidth-limited speed of
+light (docs/performance.md).
+
+These kernels take the batch-first idea to its conclusion: the SCENARIO axis
+lives on the 128 vector lanes, so every step of the textbook scalar Cholesky
+recursion is a full-width VPU op on (n, 128) tiles, and the whole
+factor-then-solve pipeline runs out of VMEM with one HBM read of M and one
+write of the solutions.
+
+Layout: matrices are stored batch-last, M[n, n, B] ("lanes layout").  A
+lane-tile of 128 scenarios is one grid instance; n (the condensed dimension,
+N*nu = 80 by default) must be a multiple of 8 (f32 sublane).
+
+Replaces (on TPU): spd_factor_batched + spd_factor_solve calls inside
+solver/qp.py's Newton step.  Reference context: this is the TPU-native
+counterpart of HPIPM's dense Cholesky (reference acados ocp.py:113-116,
+SURVEY.md §2.3 N2).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _chol_lanes(M_scr, n: int):
+    """In-place lane-parallel Cholesky on the (n, n, LANES) VMEM scratch.
+
+    After the loop, column j of M_scr holds L[:, j] with rows < j zeroed.
+    The rank-1 update only touches columns > j, so stored columns survive;
+    rows <= j of future columns receive garbage that the row mask discards
+    at store time.
+    """
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
+
+    def step(j, _):
+        d = jax.lax.rsqrt(jnp.maximum(M_scr[j, j, :], 1e-30))  # (LANES,)
+        col = M_scr[:, j, :] * d[None, :]  # (n, LANES)
+        col = jnp.where(row_ids >= j, col, 0.0)
+        M_scr[:, j, :] = col
+        upd = col[:, None, :] * col[None, :, :]  # (n, n, LANES)
+        M_scr[:, :, :] = M_scr[:, :, :] - jnp.where(col_ids > j, upd, 0.0)
+        return 0
+
+    jax.lax.fori_loop(0, n, step, 0, unroll=False)
+
+
+def _tri_solve_lanes(M_scr, b_ref, x_ref, y_scr, n: int):
+    """L L^T x = b with the factored scratch.  b_ref/x_ref/y_scr: (n, LANES)."""
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+    # forward: y[j] = (b[j] - sum_{k<j} L[j,k] y[k]) / L[j,j]
+    def fwd_step(j, _):
+        Lrow = M_scr[j, :, :]  # (n, LANES): L[j, k] over k (k<=j valid)
+        acc = jnp.sum(jnp.where(row_ids < j, Lrow * y_scr[:, :], 0.0), axis=0)
+        y_scr[j, :] = (b_ref[j, :] - acc) / M_scr[j, j, :]
+        return 0
+
+    jax.lax.fori_loop(0, n, fwd_step, 0, unroll=False)
+
+    # backward: x[j] = (y[j] - sum_{k>j} L[k,j] x[k]) / L[j,j]
+    def bwd_step(i, _):
+        j = n - 1 - i
+        Lcol = M_scr[:, j, :]  # (n, LANES): L[k, j] over k
+        acc = jnp.sum(jnp.where(row_ids > j, Lcol * x_ref[:, :], 0.0), axis=0)
+        x_ref[j, :] = (y_scr[j, :] - acc) / M_scr[j, j, :]
+        return 0
+
+    jax.lax.fori_loop(0, n, bwd_step, 0, unroll=False)
+
+
+def _factor_solve_kernel(M_ref, B_ref, X_ref, M_scr, y_scr, *, n: int, r: int):
+    M_scr[:, :, :] = M_ref[:, :, :]
+    _chol_lanes(M_scr, n)
+    for i in range(r):
+        _tri_solve_lanes(M_scr, B_ref.at[i], X_ref.at[i], y_scr, n)
+
+
+def factor_solve_lanes(M_bl, RHS_bl, interpret: bool = False):
+    """Solve M x = b for a batch of SPD systems in lanes layout.
+
+    M_bl (n, n, B), RHS_bl (r, n, B) -> X (r, n, B).  B must be a multiple
+    of 128 (pad scenarios); n a multiple of 8.  One grid instance factors a
+    128-lane tile in VMEM and runs all r triangular solves against it.
+    """
+    n = M_bl.shape[0]
+    r = RHS_bl.shape[0]
+    B = M_bl.shape[-1]
+    assert B % LANES == 0 and n % 8 == 0, (n, B)
+    grid = (B // LANES,)
+    kern = partial(_factor_solve_kernel, n=n, r=r)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n, n, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, n, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (r, n, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((r, n, B), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((n, n, LANES), jnp.float32),
+            pltpu.VMEM((n, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(M_bl, jnp.float32), jnp.asarray(RHS_bl, jnp.float32))

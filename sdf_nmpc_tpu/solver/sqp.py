@@ -319,6 +319,7 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True):
             ir_steps=int(cfg.solver.get("ir_steps", 0)),
             k_stiff=int(cfg.solver.get("qp_stiff_k", 16)),
             stiff_iters=cfg.solver.get("qp_stiff_iters", None),
+            chol_impl=cfg.solver.get("chol_impl", "auto"),
         )
         dz = qp_res.dz
 
