@@ -34,7 +34,9 @@ def main():
     dev = jax.devices()[0]
     print(f"# device: {dev.device_kind} ({dev.platform})", file=sys.stderr)
 
-    cfg, ocp, step, states, inputs = _build(batch=BATCH)
+    solver_over = json.loads(os.environ.get("BENCH_SOLVER_OVERRIDES", "null"))
+    overrides = dict(solver=solver_over) if solver_over else None
+    cfg, ocp, step, states, inputs = _build(cfg_overrides=overrides, batch=BATCH)
     vstep = jax.jit(jax.vmap(step))
 
     # warmup / compile

@@ -33,7 +33,8 @@ class Nmpc:
     """Single-robot NMPC controller with neural-SDF collision prediction."""
 
     def __init__(self, cfg, sdf_fn=None, sdf_max_df: float = 1.0, bdist_coeffs=None,
-                 r_tilde=None, ocp: Optional[OcpSpec] = None):
+                 r_tilde=None, ocp: Optional[OcpSpec] = None,
+                 sdf_value_grad_batch=None):
         self.cfg = cfg
         self.layout = ParamLayout.from_cfg(cfg)
         self.T = cfg.mpc.T
@@ -41,7 +42,8 @@ class Nmpc:
 
         if ocp is None:
             ocp = build_ocp(cfg, sdf_fn=sdf_fn, sdf_max_df=sdf_max_df,
-                            bdist_coeffs=bdist_coeffs, r_tilde=r_tilde)
+                            bdist_coeffs=bdist_coeffs, r_tilde=r_tilde,
+                            sdf_value_grad_batch=sdf_value_grad_batch)
         self.ocp = ocp
         self.model = ocp.model
         self._step = jax.jit(make_rti_step(ocp, cfg))

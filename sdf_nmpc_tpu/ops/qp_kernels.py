@@ -100,12 +100,59 @@ def factor_solve_lanes(M_bl, RHS_bl, interpret: bool = False):
     of 128 (pad scenarios); n a multiple of 8.  One grid instance factors a
     128-lane tile in VMEM and runs all r triangular solves against it.
     """
+    X, _ = factor_solve_lanes_with_L(M_bl, RHS_bl, interpret=interpret)
+    return X
+
+
+def _factor_solve_L_kernel(M_ref, B_ref, X_ref, L_ref, y_scr, *, n: int, r: int):
+    L_ref[:, :, :] = M_ref[:, :, :]
+    _chol_lanes(L_ref, n)
+    for i in range(r):
+        _tri_solve_lanes(L_ref, B_ref.at[i], X_ref.at[i], y_scr, n)
+
+
+def factor_solve_lanes_with_L(M_bl, RHS_bl, interpret: bool = False):
+    """factor_solve_lanes that also returns the factor L (n, n, B) for reuse
+    by solve_lanes (the Mehrotra corrector reuses the predictor's factor)."""
     n = M_bl.shape[0]
     r = RHS_bl.shape[0]
     B = M_bl.shape[-1]
     assert B % LANES == 0 and n % 8 == 0, (n, B)
     grid = (B // LANES,)
-    kern = partial(_factor_solve_kernel, n=n, r=r)
+    kern = partial(_factor_solve_L_kernel, n=n, r=r)
+    X, L = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n, n, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, n, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((r, n, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, n, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, n, B), jnp.float32),
+            jax.ShapeDtypeStruct((n, n, B), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((n, LANES), jnp.float32)],
+        interpret=interpret,
+    )(jnp.asarray(M_bl, jnp.float32), jnp.asarray(RHS_bl, jnp.float32))
+    return X, L
+
+
+def _solve_only_kernel(L_ref, B_ref, X_ref, y_scr, *, n: int, r: int):
+    for i in range(r):
+        _tri_solve_lanes(L_ref, B_ref.at[i], X_ref.at[i], y_scr, n)
+
+
+def solve_lanes(L_bl, RHS_bl, interpret: bool = False):
+    """Triangular solves against an existing lanes-layout factor L."""
+    n = L_bl.shape[0]
+    r = RHS_bl.shape[0]
+    B = L_bl.shape[-1]
+    grid = (B // LANES,)
+    kern = partial(_solve_only_kernel, n=n, r=r)
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -117,9 +164,86 @@ def factor_solve_lanes(M_bl, RHS_bl, interpret: bool = False):
             (r, n, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((r, n, B), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((n, n, LANES), jnp.float32),
-            pltpu.VMEM((n, LANES), jnp.float32),
-        ],
+        scratch_shapes=[pltpu.VMEM((n, LANES), jnp.float32)],
         interpret=interpret,
-    )(jnp.asarray(M_bl, jnp.float32), jnp.asarray(RHS_bl, jnp.float32))
+    )(jnp.asarray(L_bl, jnp.float32), jnp.asarray(RHS_bl, jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# custom_vmap wrappers: solver/qp.py stays single-scenario; under the callers'
+# vmap the WHOLE batch dispatches to the lanes kernels.  L is carried between
+# factor and solve as moveaxis views of the lanes array — the moveaxis pairs
+# cancel in XLA, so the factor never physically transposes.
+# ---------------------------------------------------------------------------
+
+from jax import custom_batching
+
+
+def _pad_lanes(x, axis):
+    B = x.shape[axis]
+    Bp = _round_up(B, LANES)
+    if Bp == B:
+        return x, B
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, Bp - B)
+    return jnp.pad(x, pad), B
+
+
+@custom_batching.custom_vmap
+def newton_factor_solve(M, RHS):
+    """(M (n,n), RHS (r,n)) -> (X (r,n), L-handle).  Single-scenario
+    fallback: XLA Cholesky.  Batched: lanes Pallas kernel."""
+    L = jnp.linalg.cholesky(M)
+    X = jax.scipy.linalg.cho_solve((L, True), RHS.T).T
+    return X, L
+
+
+def _interp() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@newton_factor_solve.def_vmap
+def _nfs_rule(axis_size, in_batched, M, RHS):
+    del in_batched
+    # M (B,n,n), RHS (B,r,n)
+    n = M.shape[-1]
+    Mp, B = _pad_lanes(M, 0)
+    RHSp, _ = _pad_lanes(RHS, 0)
+    Bp = Mp.shape[0]
+    # pad block must stay factorizable: identity on the diagonal
+    if Bp != B:
+        eye_mask = jnp.arange(Bp) >= B
+        Mp = jnp.where(
+            eye_mask[:, None, None],
+            jnp.eye(n, dtype=Mp.dtype)[None],
+            Mp,
+        )
+    M_bl = jnp.moveaxis(Mp, 0, -1)  # (n, n, Bp)
+    X_bl, L_bl = factor_solve_lanes_with_L(
+        M_bl, jnp.moveaxis(RHSp, 0, -1), interpret=_interp()
+    )
+    X = jnp.moveaxis(X_bl, -1, 0)[:B]  # (B, r, n)
+    L = jnp.moveaxis(L_bl, -1, 0)[:B]  # (B, n, n) — lazy view, elides
+    return (X, L), (True, True)
+
+
+@custom_batching.custom_vmap
+def newton_resolve(L, RHS):
+    """Extra solves against the factor from newton_factor_solve."""
+    return jax.scipy.linalg.cho_solve((L, True), RHS.T).T
+
+
+@newton_resolve.def_vmap
+def _nrs_rule(axis_size, in_batched, L, RHS):
+    del in_batched
+    Lp, B = _pad_lanes(L, 0)
+    RHSp, _ = _pad_lanes(RHS, 0)
+    Bp = Lp.shape[0]
+    if Bp != B:
+        n = Lp.shape[-1]
+        eye_mask = jnp.arange(Bp) >= B
+        Lp = jnp.where(eye_mask[:, None, None], jnp.eye(n, dtype=Lp.dtype)[None], Lp)
+    X_bl = solve_lanes(
+        jnp.moveaxis(Lp, 0, -1), jnp.moveaxis(RHSp, 0, -1), interpret=_interp()
+    )
+    return jnp.moveaxis(X_bl, -1, 0)[:B], True

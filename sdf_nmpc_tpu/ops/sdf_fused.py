@@ -129,9 +129,17 @@ def _kernel(p_ref, t_ref, W1, b1, W2, b2, W3, b3, W4, b4, W5, b5,
             df_ref, gr_ref, *, bp, act, w0):
     """One tile: primal rows (bp, in1p) + tangent rows (3bp, in1p)."""
 
+    # precision pinned: Mosaic only lowers DEFAULT/HIGHEST, so an ambient
+    # jax.default_matmul_precision("high") context must not leak in here
+    _dot = partial(
+        jnp.dot,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
     def dense_pair(P, T, W, b):
-        zp = jnp.dot(P, W[:], preferred_element_type=jnp.float32) + b[:]
-        zt = jnp.dot(T, W[:], preferred_element_type=jnp.float32)
+        zp = _dot(P, W[:]) + b[:]
+        zt = _dot(T, W[:])
         h, hp = _act_pair(zp, act, w0)
         hp3 = jnp.concatenate([hp, hp, hp], axis=0)  # broadcast act' to tangents
         return h, hp3 * zt
@@ -145,8 +153,8 @@ def _kernel(p_ref, t_ref, W1, b1, W2, b2, W3, b3, W4, b4, W5, b5,
     T = jnp.concatenate([T, T0], axis=1)
     H, T = dense_pair(H, T, W3, b3)
     H, T = dense_pair(H, T, W4, b4)
-    df = jnp.dot(H, W5[:], preferred_element_type=jnp.float32) + b5[:]
-    dft = jnp.dot(T, W5[:], preferred_element_type=jnp.float32)
+    df = _dot(H, W5[:]) + b5[:]
+    dft = _dot(T, W5[:])
     df_ref[:] = df[:, :128]
     # tangent rows are stacked [d/dx; d/dy; d/dz] blocks of bp rows
     gr_ref[:] = jnp.concatenate(
@@ -227,3 +235,44 @@ def reference_value_and_grad(module, params):
         return vals, grads
 
     return fn
+
+
+def make_fused_sdf_vg(module, params, tile: int = 256, interpret: bool = None):
+    """Fused-kernel batched value+grad for the solver's constraint
+    linearization (ocp.build_ocp `sdf_value_grad_batch`).
+
+    The solver calls the batch function per scenario with (K=N, 3) positions
+    and is then vmapped over thousands of scenarios; the custom_vmap rule
+    flattens (B, K) into ONE kernel pass over B*K points so the MXU sees a
+    single large stacked-tangent matmul per layer instead of B tiny ones.
+
+    Returns None when the architecture is outside the kernel's support
+    (res != 'full' or a non-4-layer trunk) — callers fall back to the
+    jax.value_and_grad path.
+    """
+    if interpret is None:
+        if jax.default_backend() != "tpu":
+            return None  # interpreter mode is for tests only; use the AD path
+        interpret = False
+    p = params["params"]
+    expected = {"main1_0", "main1_1", "main2_0", "main2_1", "df"}
+    if module.res != "full" or not expected.issubset(p.keys()):
+        return None
+    fused = make_fused_sdf(module, params, tile=tile, interpret=interpret)
+
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def vg(pos, latent):
+        return fused(pos, latent)
+
+    @vg.def_vmap
+    def _rule(axis_size, in_batched, pos, latent):
+        del axis_size, in_batched
+        B, K = pos.shape[:2]
+        vals, grads = fused(
+            pos.reshape(B * K, 3), latent.reshape(B * K, latent.shape[-1])
+        )
+        return (vals.reshape(B, K), grads.reshape(B, K, 3)), (True, True)
+
+    return vg

@@ -273,6 +273,10 @@ def solve_qp(
     if chol_impl == "auto":
         chol_impl = "custom" if jax.default_backend() == "tpu" else "xla"
     use_custom = chol_impl == "custom"
+    if chol_impl == "pallas" and jnp.dtype(qp.g.dtype) == jnp.float64:
+        chol_impl = "xla"  # the lanes kernels are f32; keep f64 runs exact
+    if chol_impl == "pallas":
+        from ..ops.qp_kernels import newton_factor_solve, newton_resolve
     factor_dtype = qp.g.dtype
     if compute_dtype is not None:
         qp = QpData(*[jnp.asarray(v, compute_dtype) for v in qp])
@@ -429,81 +433,26 @@ def solve_qp(
         # diagonal carries huge (benign) box entries
         diagA = jnp.diag(A)
         A = A + jnp.diag(10 * jnp.finfo(factor_dtype).eps * (jnp.abs(diagA) + 1.0))
-        Af = jnp.asarray(A, factor_dtype)
-        if use_custom:
-            L, n_orig = spd_factor_batched(Af)
-            a_solve = lambda b: spd_factor_solve(
-                L, n_orig, jnp.asarray(b, factor_dtype)
-            ).astype(dtype)
-        else:
-            L = jnp.linalg.cholesky(Af)
-            a_solve = lambda b: jax.scipy.linalg.cho_solve(
-                (L, True), jnp.asarray(b, factor_dtype)
-            ).astype(dtype)
-
-        if k_s > 0:
-            # multi-rhs solve: every substitution step is a (nb, k_s) GEMM
-            # (batched over scenarios), not k_s separate substitution chains
-            CsT = jnp.asarray(Cs.T, factor_dtype)
-            if use_custom:
-                Xs = spd_factor_solve_mrhs(L, n_orig, CsT).astype(dtype).T
-            else:
-                Xs = jax.scipy.linalg.cho_solve((L, True), CsT).astype(dtype).T
-            d_s_inv = jnp.minimum(1.0 / jnp.maximum(d_s, 1e-30), 1e30)
-            T = Cs @ Xs.T + jnp.diag(d_s_inv)
-            T = T + jnp.diag(
-                10 * jnp.finfo(factor_dtype).eps * (jnp.abs(jnp.diag(T)) + 1e-30)
-            )
-            Tf = jnp.asarray(T, factor_dtype)
-            if use_custom:
-                Lt, t_orig = spd_factor_batched(Tf)
-                t_solve = lambda b: spd_factor_solve(
-                    Lt, t_orig, jnp.asarray(b, factor_dtype)
-                ).astype(dtype)
-            else:
-                Lt = jnp.linalg.cholesky(Tf)
-                t_solve = lambda b: jax.scipy.linalg.cho_solve(
-                    (Lt, True), jnp.asarray(b, factor_dtype)
-                ).astype(dtype)
-
-        def _m_apply(x):
-            """Exact Newton-matrix product (mild rows capped, stiff exact)."""
-            out = qp.H @ x + rb * x
-            if nc:
-                out = out + qp.C.T @ (eta_mild * (qp.C @ x))
-            if k_s > 0:
-                out = out + Cs.T @ (d_s * (Cs @ x))
-            return out
-
-        def _newton_solve(rhs):
-            def sol(b):
-                x = a_solve(b)
-                if k_s > 0:
-                    x = x - Xs.T @ t_solve(Cs @ x)
-                return x
-
-            x = sol(rhs)
-            for _ in range(ir_steps):
-                x = x + sol(rhs - _m_apply(x))
-            return x
-
-        def direction(m_tl, m_tu, m_sl, m_su, m_bl, m_bu):
-            """Newton direction for given per-pair complementarity targets.
-            Reuses the factorization L (rhs-only changes)."""
+        def _coeffs(m_tl, m_tu, m_sl, m_su):
             a_l = m_tl / tl - lam_l
             a_u = m_tu / tu - lam_u
             b_l = -r_sl + a_l + m_sl / sl - gam_l
             b_u = -r_su + a_u + m_su / su - gam_u
+            return a_l, a_u, b_l, b_u
+
+        def _rhs_of(m_tl, m_tu, m_sl, m_su, m_bl, m_bu):
+            a_l, a_u, b_l, b_u = _coeffs(m_tl, m_tu, m_sl, m_su)
             const_l = a_l - ql * b_l / d_l
             const_u = a_u - qu * b_u / d_u
-            rhs = (
+            return (
                 -r_z
                 + qp.C.T @ (const_l - const_u)
                 + (m_bl / bl - nu_l)
                 - (m_bu / bu - nu_u)
             )
-            ddz = _newton_solve(rhs)
-            ddz = jnp.where(jnp.all(jnp.isfinite(ddz)), ddz, jnp.zeros_like(ddz))
+
+        def _recover(ddz, m_tl, m_tu, m_sl, m_su, m_bl, m_bu):
+            a_l, a_u, b_l, b_u = _coeffs(m_tl, m_tu, m_sl, m_su)
             dw = qp.C @ ddz
             dsl = (b_l - ql * dw) / d_l
             dsu = (b_u + qu * dw) / d_u
@@ -514,6 +463,83 @@ def solve_qp(
             dnu_l = (m_bl - nu_l * bl) / bl - rbl * ddz
             dnu_u = (m_bu - nu_u * bu) / bu + rbu * ddz
             return ddz, dw, dsl, dsu, dlam_l, dlam_u, dgam_l, dgam_u, dnu_l, dnu_u
+
+        # ---- stacked factor + solves ----
+        # The predictor rhs and the Woodbury columns Cs' are both known before
+        # the factorization, so ONE factor+multi-solve covers them (on the
+        # pallas backend this is a single VMEM-resident kernel pass); the
+        # corrector reuses the factor through solve_more.
+        zero_c = jnp.zeros_like(sl)
+        zero_z = jnp.zeros_like(dz)
+        aff_t = (zero_c, zero_c, zero_c, zero_c, zero_z, zero_z)
+        rhs_aff = _rhs_of(*aff_t)
+
+        Af = jnp.asarray(A, factor_dtype)
+        RHS1 = rhs_aff[None]
+        if k_s > 0:
+            RHS1 = jnp.concatenate([RHS1, Cs], axis=0)
+        RHS1 = jnp.asarray(RHS1, factor_dtype)
+        if chol_impl == "pallas":
+            X1, Lh = newton_factor_solve(Af, RHS1)
+            solve_more = lambda R: newton_resolve(
+                Lh, jnp.asarray(R, factor_dtype)
+            ).astype(dtype)
+            X1 = X1.astype(dtype)
+        elif use_custom:
+            fac, n_orig = spd_factor_batched(Af)
+
+            def solve_more(R):
+                Rf = jnp.asarray(R, factor_dtype)
+                if R.shape[0] == 1:  # vector path: lane-wide ops, no k=1 GEMMs
+                    return spd_factor_solve(fac, n_orig, Rf[0])[None].astype(dtype)
+                return spd_factor_solve_mrhs(fac, n_orig, Rf.T).T.astype(dtype)
+
+            X1 = solve_more(RHS1)
+        else:
+            Lx = jnp.linalg.cholesky(Af)
+            solve_more = lambda R: jax.scipy.linalg.cho_solve(
+                (Lx, True), jnp.asarray(R, factor_dtype).T
+            ).T.astype(dtype)
+            X1 = solve_more(RHS1)
+
+        if k_s > 0:
+            Xs = X1[1:]  # (k_s, nz) rows = A^-1 Cs_i
+            d_s_inv = jnp.minimum(1.0 / jnp.maximum(d_s, 1e-30), 1e30)
+            T = Cs @ Xs.T + jnp.diag(d_s_inv)
+            T = T + jnp.diag(
+                10 * jnp.finfo(factor_dtype).eps * (jnp.abs(jnp.diag(T)) + 1e-30)
+            )
+            # T is tiny (k_s x k_s): XLA's factorization is fine everywhere
+            Lt = jnp.linalg.cholesky(jnp.asarray(T, factor_dtype))
+            t_solve = lambda b: jax.scipy.linalg.cho_solve(
+                (Lt, True), jnp.asarray(b, factor_dtype)
+            ).astype(dtype)
+            woodbury = lambda x: x - Xs.T @ t_solve(Cs @ x)
+        else:
+            woodbury = lambda x: x
+
+        def _m_apply(x):
+            """Exact Newton-matrix product (mild rows capped, stiff exact)."""
+            out = qp.H @ x + rb * x
+            if nc:
+                out = out + qp.C.T @ (eta_mild * (qp.C @ x))
+            if k_s > 0:
+                out = out + Cs.T @ (d_s * (Cs @ x))
+            return out
+
+        def _finish_solve(x0_raw, rhs):
+            x = woodbury(x0_raw)
+            for _ in range(ir_steps):
+                x = x + woodbury(solve_more((rhs - _m_apply(x))[None])[0])
+            return jnp.where(jnp.all(jnp.isfinite(x)), x, jnp.zeros_like(x))
+
+        def direction_from(x_raw, rhs, targets):
+            ddz = _finish_solve(x_raw, rhs)
+            return _recover(ddz, *targets)
+
+        def direction(targets):
+            rhs = _rhs_of(*targets)
+            return direction_from(solve_more(rhs[None])[0], rhs, targets)
 
         def step_len(d, frac):
             ddz, dw, dsl, dsu, dlam_l, dlam_u, dgam_l, dgam_u, dnu_l, dnu_u = d
@@ -534,11 +560,9 @@ def solve_qp(
                 ),
             ))
 
-        zero_c = jnp.zeros_like(sl)
-        zero_z = jnp.zeros_like(dz)
-
-        # ---- predictor: pure Newton (affine) direction ----
-        aff = direction(zero_c, zero_c, zero_c, zero_c, zero_z, zero_z)
+        # ---- predictor: pure Newton (affine) direction (solution row 0 of
+        # the stacked factor+solve above) ----
+        aff = direction_from(X1[0], rhs_aff, aff_t)
         alpha_aff = step_len(aff, 1.0)
         (adz, adw, adsl, adsu, adlam_l, adlam_u, adgam_l, adgam_u, adnu_l, adnu_u) = aff
 
@@ -558,14 +582,14 @@ def solve_qp(
         mu_t = jnp.maximum(sigma * mu_cur, mu_min)
 
         # ---- corrector: centering + second-order complementarity terms ----
-        corr = direction(
+        corr = direction((
             mu_t - adlam_l * (adw + adsl),
             mu_t - adlam_u * (adsu - adw),
             mu_t - adgam_l * adsl,
             mu_t - adgam_u * adsu,
             mu_t - adnu_l * adz,
             mu_t + adnu_u * adz,
-        )
+        ))
         alpha = step_len(corr, tau)
         (ddz, dw, dsl, dsu, dlam_l, dlam_u, dgam_l, dgam_u, dnu_l, dnu_u) = corr
 

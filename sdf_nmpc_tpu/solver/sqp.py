@@ -365,10 +365,17 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True):
 
     def multi_step(state, inp):
         """cfg.solver.sqp_iters Gauss-Newton iterations (1 = RTI)."""
-        n_iters = int(cfg.solver.sqp_iters)
-        result = step(state, inp)
-        for _ in range(n_iters - 1):
-            result = step(result.state, inp)
-        return result
+        # TPU MXU lowers f32 matmuls to reduced-precision passes by default
+        # (~bf16 inputs) — measured 1e-2-level error in the QP linalg on
+        # hardware while CPU tests (exact f32) stay green.  The whole solve
+        # traces under HIGHEST; the arithmetic here is bandwidth-dominated,
+        # so the extra MXU passes are cheap (measured in docs/performance.md).
+        precision = cfg.solver.get("matmul_precision", "highest")
+        with jax.default_matmul_precision(precision):
+            n_iters = int(cfg.solver.sqp_iters)
+            result = step(state, inp)
+            for _ in range(n_iters - 1):
+                result = step(result.state, inp)
+            return result
 
     return multi_step
