@@ -1,3 +1,4 @@
-"""Native host runtime: sensor-frame ingestion off the GIL."""
+"""Host runtime: native sensor-frame ingestion + the mission state machine."""
 
+from .mission import MissionMode, MissionServer, MissionTick
 from .native import FrameRing
