@@ -2,6 +2,7 @@
 
 from .integrator import erk4, erk4_with_sensitivities
 from .qp import QpData, QpResult, solve_qp
+from .qp_riccati import RiccatiQpResult, StageQpData, solve_qp_riccati
 from .sqp import (
     STATUS_NAN,
     STATUS_OK,

@@ -33,6 +33,7 @@ import numpy as np
 from ..ocp import OcpSpec
 from .integrator import erk4_with_sensitivities
 from .qp import QpData, QpDuals, QpResult, solve_qp
+from .qp_riccati import StageQpData, solve_qp_riccati
 
 STATUS_OK = 0
 STATUS_NAN = 1
@@ -180,6 +181,43 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True):
             for v in (x_next, A, B, res, Jyx, Jyu, h_val, Jhx, Jhu)
         )
 
+    use_riccati = str(cfg.solver.get("qp_backend", "condensed")) == "riccati"
+
+    def _finish(X, U, dX, dU, kkt_residual, complementarity, new_duals, p):
+        """Shared trajectory update + NaN guard + status (both QP backends)."""
+        U_new = U + dU
+        X_new = X + dX
+        bad = jnp.logical_or(
+            jnp.any(~jnp.isfinite(U_new)), jnp.any(~jnp.isfinite(X_new))
+        )
+        status = jnp.where(bad, STATUS_NAN, STATUS_OK).astype(jnp.int32)
+        kkt_tol = cfg.solver.get("kkt_tol", None)
+        if kkt_tol is not None:
+            # soft-failure detection (acados reports QP status; our analogue is
+            # the stationarity residual of the final IP iterate).  The iterate
+            # is kept — like acados, a poor QP still updates the warm start.
+            status = jnp.where(
+                (status == STATUS_OK) & (kkt_residual > kkt_tol),
+                STATUS_NOT_CONVERGED,
+                status,
+            ).astype(jnp.int32)
+        U_new = jnp.where(bad, U, U_new)
+        X_new = jnp.where(bad, X, X_new)
+
+        evals = None
+        if with_evals and ocp.eval_fn is not None:
+            U_pad = jnp.concatenate([U_new, U_new[-1:]], axis=0)
+            evals = jax.vmap(ocp.eval_fn)(X_new, U_pad, p)
+
+        return SolveResult(
+            state=SolverState(X=X_new, U=U_new, qp_duals=new_duals),
+            u0=U_new[0],
+            status=status,
+            kkt_residual=kkt_residual,
+            qp_complementarity=complementarity,
+            evals=evals,
+        )
+
     def step(state: SolverState, inp: SolveInputs) -> SolveResult:
         X = jnp.asarray(state.X, dtype)
         U = jnp.asarray(state.U, dtype)
@@ -221,6 +259,53 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True):
         else:
             hN_val = jnp.zeros(0, dtype)
             JhxN = jnp.zeros((0, nx), dtype)
+
+        if use_riccati:
+            # ---- stage-structured (Riccati) backend: no condensing ----
+            # e0-propagation only for the LM reference trajectory (the
+            # condensed path's lm*||dx - e||^2 penalty, see solver/qp_riccati)
+            e0 = x0 - X[0]
+
+            def e_scan(e, xs):
+                A_k, d_k = xs
+                return A_k @ e + d_k, e
+
+            eN_r, e_stage_r = jax.lax.scan(e_scan, e0, (A, defect))
+            e_all_r = jnp.concatenate([e_stage_r, eN_r[None]], axis=0)
+
+            Ws = W * scale[:N, None]
+            Q_st = jnp.einsum("kni,kn,knj->kij", Jyx, Ws, Jyx)
+            q_st = jnp.einsum("kni,kn->ki", Jyx, Ws * res)
+            R_st = jnp.einsum("knu,kn,knv->kuv", Jyu, Ws, Jyu) + lm * jnp.eye(
+                nu, dtype=dtype
+            )
+            r_st = jnp.einsum("knu,kn->ku", Jyu, Ws * res)
+            S_st = jnp.einsum("knu,kn,kni->kui", Jyu, Ws, Jyx)
+            QN_st = JxN.T @ (WN[:, None] * JxN)
+            qN_st = JxN.T @ (WN * resN)
+            Q_all = jnp.concatenate([Q_st, QN_st[None]], axis=0) + lm * jnp.eye(
+                nx, dtype=dtype
+            )
+            q_all = jnp.concatenate([q_st, qN_st[None]], axis=0) - lm * e_all_r
+
+            sqd = StageQpData(
+                Q=Q_all, q=q_all, R=R_st, r=r_st, Ssu=S_st,
+                A=A, B=B, b=defect, e0=e0,
+                Cx=Jhx, Cu=Jhu, c=h_val, lh=lh, uh=uh,
+                z1=jnp.broadcast_to(zl, (N, nh)) * scale[:N, None],
+                z2=jnp.broadcast_to(Zl, (N, nh)) * scale[:N, None],
+                CxN=JhxN, cN=hN_val, lhN=lhN, uhN=uhN, z1N=zlN, z2N=ZlN,
+                lb=jnp.broadcast_to(lbu, (N, nu)) - U,
+                ub=jnp.broadcast_to(ubu, (N, nu)) - U,
+            )
+            rres = solve_qp_riccati(
+                sqd,
+                iters=int(cfg.solver.qp_iters),
+                mu0=float(cfg.solver.barrier_init),
+                box_margin=float(cfg.solver.box_margin),
+            )
+            return _finish(X, U, rres.ddx, rres.ddu, rres.kkt_residual,
+                           rres.complementarity, state.qp_duals, p)
 
         # ---- 2. condensing scan: dx_k = e_k + E_k dz ----
         # NOTE: a parallel-prefix (associative_scan) variant was benchmarked
@@ -310,17 +395,24 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True):
             ub=(ubu[None, :] - U).reshape(nz),
         )
         dual_ws = bool(cfg.solver.get("dual_warm_start", False))
-        qp_res: QpResult = solve_qp(
-            qp,
-            iters=int(cfg.solver.qp_iters),
-            mu0=float(cfg.solver.barrier_init),
-            box_margin=float(cfg.solver.box_margin),
-            warm_duals=state.qp_duals if dual_ws else None,
-            ir_steps=int(cfg.solver.get("ir_steps", 0)),
-            k_stiff=int(cfg.solver.get("qp_stiff_k", 16)),
-            stiff_iters=cfg.solver.get("qp_stiff_iters", None),
-            chol_impl=cfg.solver.get("chol_impl", "auto"),
+        # the QP interior point is the precision-sensitive region (barrier
+        # ratios spanning ~1e10 meet the factorization); it can be pinned to a
+        # higher matmul fidelity than the ambient linearization/condensing
+        qp_precision = cfg.solver.get("qp_matmul_precision", None) or cfg.solver.get(
+            "matmul_precision", "highest"
         )
+        with jax.default_matmul_precision(qp_precision):
+            qp_res: QpResult = solve_qp(
+                qp,
+                iters=int(cfg.solver.qp_iters),
+                mu0=float(cfg.solver.barrier_init),
+                box_margin=float(cfg.solver.box_margin),
+                warm_duals=state.qp_duals if dual_ws else None,
+                ir_steps=int(cfg.solver.get("ir_steps", 0)),
+                k_stiff=int(cfg.solver.get("qp_stiff_k", 16)),
+                stiff_iters=cfg.solver.get("qp_stiff_iters", None),
+                chol_impl=cfg.solver.get("chol_impl", "auto"),
+            )
         dz = qp_res.dz
 
         # ---- 5. linear trajectory update + NaN guard ----
@@ -328,40 +420,9 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True):
         dX = jnp.concatenate([e_stage, eN[None]], axis=0) + jnp.einsum(
             "kiz,z->ki", E_all, dz
         )
-        U_new = U + dU
-        X_new = X + dX
-
-        bad = jnp.logical_or(
-            jnp.any(~jnp.isfinite(U_new)), jnp.any(~jnp.isfinite(X_new))
-        )
-        status = jnp.where(bad, STATUS_NAN, STATUS_OK).astype(jnp.int32)
-        kkt_tol = cfg.solver.get("kkt_tol", None)
-        if kkt_tol is not None:
-            # soft-failure detection (acados reports QP status; our analogue is
-            # the stationarity residual of the final IP iterate).  The iterate
-            # is kept — like acados, a poor QP still updates the warm start.
-            status = jnp.where(
-                (status == STATUS_OK) & (qp_res.kkt_residual > kkt_tol),
-                STATUS_NOT_CONVERGED,
-                status,
-            ).astype(jnp.int32)
-        U_new = jnp.where(bad, U, U_new)
-        X_new = jnp.where(bad, X, X_new)
-
-        evals = None
-        if with_evals and ocp.eval_fn is not None:
-            U_pad = jnp.concatenate([U_new, U_new[-1:]], axis=0)
-            evals = jax.vmap(ocp.eval_fn)(X_new, U_pad, p)
-
         new_duals = qp_res.duals if (state.qp_duals is not None) else None
-        return SolveResult(
-            state=SolverState(X=X_new, U=U_new, qp_duals=new_duals),
-            u0=U_new[0],
-            status=status,
-            kkt_residual=qp_res.kkt_residual,
-            qp_complementarity=qp_res.complementarity,
-            evals=evals,
-        )
+        return _finish(X, U, dX, dU, qp_res.kkt_residual,
+                       qp_res.complementarity, new_duals, p)
 
     def multi_step(state, inp):
         """cfg.solver.sqp_iters Gauss-Newton iterations (1 = RTI)."""
