@@ -62,35 +62,42 @@ def _chol_lanes(M_scr, n: int):
     jax.lax.fori_loop(0, n, step, 0, unroll=False)
 
 
-def _tri_solve_lanes(M_scr, b_ref, x_ref, y_scr, n: int):
-    """L L^T x = b with the factored scratch.  b_ref/x_ref/y_scr: (n, LANES)."""
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+def _tri_solve_lanes(M_scr, b_ref, x_ref, n: int):
+    """L L^T X = B with the factored scratch, ALL r right-hand sides per
+    recursion step.  b_ref/x_ref: (r, n, LANES).
 
-    # forward: y[j] = (b[j] - sum_{k<j} L[j,k] y[k]) / L[j,j]
+    The scalar recursion is sequential in j only — the r RHS columns ride
+    along as a leading axis, so a stiff-split pass (1 Newton rhs + k_stiff
+    Woodbury columns) costs the same 2n sequential steps as a single solve
+    instead of r * 2n.  The solve is IN PLACE in x_ref (no scratch): the
+    forward sweep stores y there, and the backward sweep at row j reads
+    x_ref[j] while it still holds y[j] (rows > j already hold final x, rows
+    < j are untouched y that the mask excludes) — VMEM is the scarce
+    resource at production shapes."""
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
+
+    # forward: y[:, j] = (b[:, j] - sum_{k<j} L[j,k] y[:, k]) / L[j,j]
     def fwd_step(j, _):
         Lrow = M_scr[j, :, :]  # (n, LANES): L[j, k] over k (k<=j valid)
-        acc = jnp.sum(jnp.where(row_ids < j, Lrow * y_scr[:, :], 0.0), axis=0)
-        y_scr[j, :] = (b_ref[j, :] - acc) / M_scr[j, j, :]
+        acc = jnp.sum(
+            jnp.where(row_ids < j, Lrow[None] * x_ref[:, :, :], 0.0), axis=1
+        )  # (r, LANES)
+        x_ref[:, j, :] = (b_ref[:, j, :] - acc) / M_scr[j, j, :][None]
         return 0
 
     jax.lax.fori_loop(0, n, fwd_step, 0, unroll=False)
 
-    # backward: x[j] = (y[j] - sum_{k>j} L[k,j] x[k]) / L[j,j]
+    # backward: x[:, j] = (y[:, j] - sum_{k>j} L[k,j] x[:, k]) / L[j,j]
     def bwd_step(i, _):
         j = n - 1 - i
         Lcol = M_scr[:, j, :]  # (n, LANES): L[k, j] over k
-        acc = jnp.sum(jnp.where(row_ids > j, Lcol * x_ref[:, :], 0.0), axis=0)
-        x_ref[j, :] = (y_scr[j, :] - acc) / M_scr[j, j, :]
+        acc = jnp.sum(
+            jnp.where(row_ids > j, Lcol[None] * x_ref[:, :, :], 0.0), axis=1
+        )
+        x_ref[:, j, :] = (x_ref[:, j, :] - acc) / M_scr[j, j, :][None]
         return 0
 
     jax.lax.fori_loop(0, n, bwd_step, 0, unroll=False)
-
-
-def _factor_solve_kernel(M_ref, B_ref, X_ref, M_scr, y_scr, *, n: int, r: int):
-    M_scr[:, :, :] = M_ref[:, :, :]
-    _chol_lanes(M_scr, n)
-    for i in range(r):
-        _tri_solve_lanes(M_scr, B_ref.at[i], X_ref.at[i], y_scr, n)
 
 
 def factor_solve_lanes(M_bl, RHS_bl, interpret: bool = False):
@@ -104,11 +111,14 @@ def factor_solve_lanes(M_bl, RHS_bl, interpret: bool = False):
     return X
 
 
-def _factor_solve_L_kernel(M_ref, B_ref, X_ref, L_ref, y_scr, *, n: int, r: int):
+def _factor_solve_L_kernel(M_ref, B_ref, X_ref, L_ref, *, n: int, r: int):
+    del r
+    # M is input/output-aliased onto L: the copy is a self-copy no-op under
+    # aliasing (and the correct initialization in interpret mode), and the
+    # factorization runs in place — halves the kernel's VMEM block footprint
     L_ref[:, :, :] = M_ref[:, :, :]
     _chol_lanes(L_ref, n)
-    for i in range(r):
-        _tri_solve_lanes(L_ref, B_ref.at[i], X_ref.at[i], y_scr, n)
+    _tri_solve_lanes(L_ref, B_ref, X_ref, n)
 
 
 def factor_solve_lanes_with_L(M_bl, RHS_bl, interpret: bool = False):
@@ -135,15 +145,15 @@ def factor_solve_lanes_with_L(M_bl, RHS_bl, interpret: bool = False):
             jax.ShapeDtypeStruct((r, n, B), jnp.float32),
             jax.ShapeDtypeStruct((n, n, B), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((n, LANES), jnp.float32)],
+        input_output_aliases={0: 1},  # M donated to L: factor in place
         interpret=interpret,
     )(jnp.asarray(M_bl, jnp.float32), jnp.asarray(RHS_bl, jnp.float32))
     return X, L
 
 
-def _solve_only_kernel(L_ref, B_ref, X_ref, y_scr, *, n: int, r: int):
-    for i in range(r):
-        _tri_solve_lanes(L_ref, B_ref.at[i], X_ref.at[i], y_scr, n)
+def _solve_only_kernel(L_ref, B_ref, X_ref, *, n: int, r: int):
+    del r
+    _tri_solve_lanes(L_ref, B_ref, X_ref, n)
 
 
 def solve_lanes(L_bl, RHS_bl, interpret: bool = False):
@@ -164,7 +174,6 @@ def solve_lanes(L_bl, RHS_bl, interpret: bool = False):
             (r, n, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((r, n, B), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((n, LANES), jnp.float32)],
         interpret=interpret,
     )(jnp.asarray(L_bl, jnp.float32), jnp.asarray(RHS_bl, jnp.float32))
 
