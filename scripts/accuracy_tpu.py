@@ -68,7 +68,9 @@ def _build(dtype_cfg):
     if bool(cfg.solver.get("fused_sdf", True)):
         from sdf_nmpc_tpu.ops import make_fused_sdf_vg
 
-        vg = make_fused_sdf_vg(module, params)
+        vg = make_fused_sdf_vg(
+            module, params, dtype=str(cfg.solver.get("sdf_fused_dtype", "f32"))
+        )
     ocp = build_ocp(cfg, sdf_fn=sdf_fn, sdf_max_df=1.0, sdf_value_grad_batch=vg)
     return cfg, ocp, ParamLayout.from_cfg(cfg)
 

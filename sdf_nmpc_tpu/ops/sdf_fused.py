@@ -126,20 +126,25 @@ def _act_pair(z, act: str, w0: float):
 
 
 def _kernel(p_ref, t_ref, W1, b1, W2, b2, W3, b3, W4, b4, W5, b5,
-            df_ref, gr_ref, *, bp, act, w0):
+            df_ref, gr_ref, *, bp, act, w0, in_dtype):
     """One tile: primal rows (bp, in1p) + tangent rows (3bp, in1p)."""
 
     # precision pinned: Mosaic only lowers DEFAULT/HIGHEST, so an ambient
-    # jax.default_matmul_precision("high") context must not leak in here
+    # jax.default_matmul_precision("high") context must not leak in here.
+    # bf16 mode: operands truncated to bf16 (weights arrive bf16), f32
+    # accumulation via preferred_element_type — one MXU pass per matmul
+    # instead of HIGHEST's six; activations/biases stay f32.
     _dot = partial(
         jnp.dot,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.DEFAULT
+        if in_dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST,
     )
 
     def dense_pair(P, T, W, b):
-        zp = _dot(P, W[:]) + b[:]
-        zt = _dot(T, W[:])
+        zp = _dot(P.astype(in_dtype), W[:]) + b[:]
+        zt = _dot(T.astype(in_dtype), W[:])
         h, hp = _act_pair(zp, act, w0)
         hp3 = jnp.concatenate([hp, hp, hp], axis=0)  # broadcast act' to tangents
         return h, hp3 * zt
@@ -153,8 +158,8 @@ def _kernel(p_ref, t_ref, W1, b1, W2, b2, W3, b3, W4, b4, W5, b5,
     T = jnp.concatenate([T, T0], axis=1)
     H, T = dense_pair(H, T, W3, b3)
     H, T = dense_pair(H, T, W4, b4)
-    df = _dot(H, W5[:]) + b5[:]
-    dft = _dot(T, W5[:])
+    df = _dot(H.astype(in_dtype), W5[:]) + b5[:]
+    dft = _dot(T.astype(in_dtype), W5[:])
     df_ref[:] = df[:, :128]
     # tangent rows are stacked [d/dx; d/dy; d/dz] blocks of bp rows
     gr_ref[:] = jnp.concatenate(
@@ -162,12 +167,18 @@ def _kernel(p_ref, t_ref, W1, b1, W2, b2, W3, b3, W4, b4, W5, b5,
     )
 
 
-def make_fused_sdf(module, params, tile: int = 256, interpret: bool = False):
+def make_fused_sdf(module, params, tile: int = 256, interpret: bool = False,
+                   dtype: str = "f32"):
     """Returns value_and_grad_fn(pos (B,3), latent (B,L)) -> (df (B,), grad (B,3)).
 
     One Pallas kernel pass computes values and position gradients for the whole
     batch (all scenarios x shooting nodes at once).
+
+    dtype -- 'f32' (exact, matmuls at HIGHEST) or 'bf16' (weights + matmul
+    operands bf16 with f32 accumulation: 1 MXU pass/matmul vs HIGHEST's 6;
+    measured accuracy in docs/performance.md).
     """
+    in_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[dtype]
     packed = pack_neural_df_params(module, params)
     meta = packed["meta"]
     embed_fn = packed["embed_fn"]
@@ -175,6 +186,10 @@ def make_fused_sdf(module, params, tile: int = 256, interpret: bool = False):
     nemb, L = meta["nemb"], meta["L"]
 
     weights = [packed[k] for k in ("W1", "b1", "W2", "b2", "W3", "b3", "W4", "b4", "W5", "b5")]
+    if in_dtype != jnp.float32:
+        # weight matrices carried in bf16 (halves their VMEM block); biases
+        # stay f32 — they add into the f32 accumulator
+        weights = [w.astype(in_dtype) if w.ndim == 2 else w for w in weights]
 
     def value_and_grad(pos, latent):
         pos = jnp.asarray(pos, jnp.float32)
@@ -196,7 +211,8 @@ def make_fused_sdf(module, params, tile: int = 256, interpret: bool = False):
         )
         T_stacked = T_tiles.reshape(n_tiles * 3 * tile, in1p)
 
-        kern = partial(_kernel, bp=tile, act=meta["act"], w0=meta["w0"])
+        kern = partial(_kernel, bp=tile, act=meta["act"], w0=meta["w0"],
+                       in_dtype=in_dtype)
         df_pad, gr_pad = pl.pallas_call(
             kern,
             grid=(n_tiles,),
@@ -237,7 +253,8 @@ def reference_value_and_grad(module, params):
     return fn
 
 
-def make_fused_sdf_vg(module, params, tile: int = 256, interpret: bool = None):
+def make_fused_sdf_vg(module, params, tile: int = 256, interpret: bool = None,
+                      dtype: str = "f32"):
     """Fused-kernel batched value+grad for the solver's constraint
     linearization (ocp.build_ocp `sdf_value_grad_batch`).
 
@@ -258,7 +275,8 @@ def make_fused_sdf_vg(module, params, tile: int = 256, interpret: bool = None):
     expected = {"main1_0", "main1_1", "main2_0", "main2_1", "df"}
     if module.res != "full" or not expected.issubset(p.keys()):
         return None
-    fused = make_fused_sdf(module, params, tile=tile, interpret=interpret)
+    fused = make_fused_sdf(module, params, tile=tile, interpret=interpret,
+                           dtype=dtype)
 
     from jax import custom_batching
 
