@@ -34,6 +34,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 
+# the in-kernel (n, n, LANES) rank-1-update temporaries put the kernel's
+# scoped-VMEM footprint just past the 16 MiB default at n=80; the chip has
+# 128 MiB — raise the scoped limit rather than shrink the lane tile
+_COMPILER_PARAMS = pltpu.CompilerParams(
+    dimension_semantics=("parallel",), vmem_limit_bytes=64 * 1024 * 1024
+)
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -146,6 +153,7 @@ def factor_solve_lanes_with_L(M_bl, RHS_bl, interpret: bool = False):
             jax.ShapeDtypeStruct((n, n, B), jnp.float32),
         ],
         input_output_aliases={0: 1},  # M donated to L: factor in place
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(jnp.asarray(M_bl, jnp.float32), jnp.asarray(RHS_bl, jnp.float32))
     return X, L
@@ -174,6 +182,7 @@ def solve_lanes(L_bl, RHS_bl, interpret: bool = False):
             (r, n, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((r, n, B), jnp.float32),
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(jnp.asarray(L_bl, jnp.float32), jnp.asarray(RHS_bl, jnp.float32))
 

@@ -271,7 +271,12 @@ def solve_qp(
     attribution experiments (docs/performance.md); None for production."""
     del eps_min
     if chol_impl == "auto":
-        chol_impl = "custom" if jax.default_backend() == "tpu" else "xla"
+        # pallas = batch-on-lanes factor+solve kernels (ops/qp_kernels.py):
+        # +28% step throughput over the blocked-linalg 'custom' path at
+        # production batch (docs/performance.md).  Unbatched (B=1) the
+        # custom_vmap wrappers fall back to XLA Cholesky — the B=1 winner —
+        # so 'pallas' is the right auto choice at every batch size.
+        chol_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     use_custom = chol_impl == "custom"
     if chol_impl == "pallas" and jnp.dtype(qp.g.dtype) == jnp.float64:
         chol_impl = "xla"  # the lanes kernels are f32; keep f64 runs exact
