@@ -220,9 +220,18 @@ def _interp() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _bcast_unbatched(axis_size, in_batched, *args):
+    """Broadcast any operand vmap left unbatched (e.g. a constant RHS) to the
+    batch axis so the lanes rules can treat everything as (B, ...)."""
+    return tuple(
+        a if b else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+        for b, a in zip(in_batched, args)
+    )
+
+
 @newton_factor_solve.def_vmap
 def _nfs_rule(axis_size, in_batched, M, RHS):
-    del in_batched
+    M, RHS = _bcast_unbatched(axis_size, in_batched, M, RHS)
     # M (B,n,n), RHS (B,r,n)
     n = M.shape[-1]
     Mp, B = _pad_lanes(M, 0)
@@ -253,7 +262,7 @@ def newton_resolve(L, RHS):
 
 @newton_resolve.def_vmap
 def _nrs_rule(axis_size, in_batched, L, RHS):
-    del in_batched
+    L, RHS = _bcast_unbatched(axis_size, in_batched, L, RHS)
     Lp, B = _pad_lanes(L, 0)
     RHSp, _ = _pad_lanes(RHS, 0)
     Bp = Lp.shape[0]

@@ -514,11 +514,24 @@ def solve_qp(
             T = T + jnp.diag(
                 10 * jnp.finfo(factor_dtype).eps * (jnp.abs(jnp.diag(T)) + 1e-30)
             )
-            # T is tiny (k_s x k_s): XLA's factorization is fine everywhere
-            Lt = jnp.linalg.cholesky(jnp.asarray(T, factor_dtype))
-            t_solve = lambda b: jax.scipy.linalg.cho_solve(
-                (Lt, True), jnp.asarray(b, factor_dtype)
-            ).astype(dtype)
+            if chol_impl == "pallas" and k_s % 8 == 0:
+                # T is tiny (k_s x k_s) but there are B of them: XLA's batched
+                # small Cholesky/trisolves don't vectorize across the batch
+                # (the same pathology as the (nz, nz) systems — measured
+                # ~2x stiff-iteration cost, docs/performance.md); factor once
+                # through the lanes kernel and resolve per Woodbury apply
+                _, Lt_h = newton_factor_solve(
+                    jnp.asarray(T, factor_dtype),
+                    jnp.zeros((1, k_s), factor_dtype),
+                )
+                t_solve = lambda b: newton_resolve(
+                    Lt_h, jnp.asarray(b, factor_dtype)[None]
+                )[0].astype(dtype)
+            else:
+                Lt = jnp.linalg.cholesky(jnp.asarray(T, factor_dtype))
+                t_solve = lambda b: jax.scipy.linalg.cho_solve(
+                    (Lt, True), jnp.asarray(b, factor_dtype)
+                ).astype(dtype)
             woodbury = lambda x: x - Xs.T @ t_solve(Cs @ x)
         else:
             woodbury = lambda x: x

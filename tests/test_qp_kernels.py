@@ -74,12 +74,15 @@ def test_solve_qp_pallas_backend_matches_custom():
         lb=jnp.full((B, nz), -0.7, jnp.float32),
         ub=jnp.full((B, nz), 0.7, jnp.float32),
     )
-    run = lambda impl: np.asarray(
+    run = lambda impl, ks: np.asarray(
         jax.vmap(
-            lambda q: solve_qp(q, iters=12, stiff_iters=4, k_stiff=4, chol_impl=impl).dz
+            lambda q: solve_qp(q, iters=12, stiff_iters=4, k_stiff=ks, chol_impl=impl).dz
         )(qp),
         np.float64,
     )
-    dz_p = run("pallas")
-    dz_c = run("custom")
-    assert np.abs(dz_p - dz_c).max() < 1e-4, np.abs(dz_p - dz_c).max()
+    # k_stiff=8 exercises the lanes-kernel T factorization (k_s % 8 == 0),
+    # k_stiff=4 the XLA small-Cholesky fallback branch
+    for ks in (8, 4):
+        dz_p = run("pallas", ks)
+        dz_c = run("custom", ks)
+        assert np.abs(dz_p - dz_c).max() < 1e-4, (ks, np.abs(dz_p - dz_c).max())
