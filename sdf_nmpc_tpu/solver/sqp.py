@@ -319,7 +319,14 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True):
             e_k, E_k = carry
             A_k, B_k, r_k, S_k = xs
             e_next = A_k @ e_k + r_k
-            E_next = A_k @ E_k + B_k @ S_k
+            # broadcast-multiply-reduce instead of dot_general: these (10,10)
+            # x (10,80) products are far below MXU tile size; under a batch
+            # vmap XLA pads them to full 128x128 tiles and the padding is
+            # paid in HBM traffic (measured 43 -> 26 ms for the N=20 scan at
+            # B=8192, scripts/bench_smallmm.py)
+            E_next = (A_k[:, :, None] * E_k[None, :, :]).sum(1) + (
+                B_k[:, :, None] * S_k[None, :, :]
+            ).sum(1)
             return (e_next, E_next), (e_k, E_k)
 
         (eN, EN), (e_stage, E_stage) = jax.lax.scan(
@@ -327,29 +334,47 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True):
         )
 
         # ---- 3. condensed Hessian / gradient / constraints ----
-        G = jnp.einsum("kni,kiz->knz", Jyx, E_stage) + jnp.einsum(
-            "knu,kuz->knz", Jyu, S
-        )  # (N, ny, nz)
-        res_c = res + jnp.einsum("kni,ki->kn", Jyx, e_stage)  # residual at dz=0
+        # Contractions over the nx=10 axis are written as broadcast-multiply-
+        # reduce, and the Gram products H = sum_row w_r m_r m_r' as ONE
+        # stacked (n_rows, nz) weighted matmul: XLA lowers the per-node
+        # einsum forms as tiny (ny,nz)-ish GEMMs padded to full 128x128 MXU
+        # tiles, paying the padding in HBM traffic (scripts/bench_smallmm.py,
+        # docs/performance.md).
+        G = (Jyx[:, :, :, None] * E_stage[:, None, :, :]).sum(2) + (
+            Jyu[:, :, :, None] * S[:, None, :, :]
+        ).sum(2)  # (N, ny, nz)
+        ny = G.shape[1]
+        res_c = res + (Jyx * e_stage[:, None, :]).sum(-1)  # residual at dz=0
         Ws = W * scale[:N, None]
-        H = jnp.einsum("kna,kn,knb->ab", G, Ws, G)
-        g = jnp.einsum("kna,kn->a", G, Ws * res_c)
 
-        GN = JxN @ EN  # (nyN, nz)
+        GN = (JxN[:, :, None] * EN[None, :, :]).sum(1)  # (nyN, nz)
         resN_c = resN + JxN @ eN
-        H = H + jnp.einsum("na,n,nb->ab", GN, WN, GN)
-        g = g + GN.T @ (WN * resN_c)
 
-        # Levenberg-Marquardt: stage-wise lm*I on (x,u) blocks, condensed
+        # Levenberg-Marquardt rows: stage-wise lm*I on (x,u) blocks, condensed
         E_all = jnp.concatenate([E_stage, EN[None]], axis=0)  # (N+1, nx, nz)
-        H = H + lm * (jnp.einsum("kia,kib->ab", E_all, E_all) + jnp.eye(nz, dtype=dtype))
+
+        M_rows = jnp.concatenate(
+            [G.reshape(N * ny, nz), GN, E_all.reshape((N + 1) * nx, nz)], axis=0
+        )
+        w_rows = jnp.concatenate(
+            [Ws.reshape(N * ny), WN, jnp.full(((N + 1) * nx,), lm, dtype)]
+        )
+        r_rows = jnp.concatenate(
+            [
+                (Ws * res_c).reshape(N * ny),
+                WN * resN_c,
+                jnp.zeros(((N + 1) * nx,), dtype),
+            ]
+        )
+        H = (M_rows.T * w_rows) @ M_rows + lm * jnp.eye(nz, dtype=dtype)
+        g = M_rows.T @ r_rows
 
         # constraint rows
         if nh > 0:
-            C_stage = jnp.einsum("kni,kiz->knz", Jhx, E_stage) + jnp.einsum(
-                "knu,kuz->knz", Jhu, S
-            )
-            c_stage = h_val + jnp.einsum("kni,ki->kn", Jhx, e_stage)
+            C_stage = (Jhx[:, :, :, None] * E_stage[:, None, :, :]).sum(2) + (
+                Jhu[:, :, :, None] * S[:, None, :, :]
+            ).sum(2)
+            c_stage = h_val + (Jhx * e_stage[:, None, :]).sum(-1)
             # slack penalties share the stage cost scaling (acados cost_scaling)
             z1_stage = jnp.broadcast_to(zl, (N, nh)) * scale[:N, None]
             z2_stage = jnp.broadcast_to(Zl, (N, nh)) * scale[:N, None]
@@ -362,7 +387,7 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True):
         else:
             C_rows, c_rows, lh_rows, uh_rows, z1_rows, z2_rows = [], [], [], [], [], []
         if nhN > 0:
-            C_rows.append(JhxN @ EN)
+            C_rows.append((JhxN[:, :, None] * EN[None, :, :]).sum(1))
             c_rows.append(hN_val + JhxN @ eN)
             lh_rows.append(lhN)
             uh_rows.append(uhN)
