@@ -11,6 +11,7 @@ from pathlib import Path
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 B = int(os.environ.get("BQ_BATCH", 4096))
 
@@ -35,18 +36,12 @@ def run(tag, overrides, patch_diag=False):
         qpmod.spd_factor_solve = lambda factor, n, rhs, nb=16: factor[0] * rhs
 
     from __graft_entry__ import _build
+    from _tpu_timer import time_steps
 
     cfg, ocp, step, states, inputs = _build(cfg_overrides=overrides, batch=B)
     vstep = jax.jit(jax.vmap(step))
+    t = time_steps(vstep, states, inputs, iters=10)
     out = vstep(states, inputs)
-    out.u0.block_until_ready()
-    ts = []
-    for _ in range(8):
-        t0 = time.perf_counter()
-        out = vstep(states, inputs)
-        out.u0.block_until_ready()
-        ts.append(time.perf_counter() - t0)
-    t = float(np.median(ts))
     n_ok = int(np.asarray(out.status == 0).sum())
     print(f"{tag:24s} {t * 1e3:8.1f} ms  ({B / t:8.0f} solves/s, ok {n_ok}/{B})")
     return t
