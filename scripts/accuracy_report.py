@@ -118,7 +118,13 @@ def main():
     if warm.size:
         print(f"warm RTI ticks ({args.warm_ticks} per scenario, same warm start + x0):")
         print(f"  max   {warm.max():.2e}")
+        print(f"  p99   {np.percentile(warm, 99):.2e}")
         print(f"  mean  {warm.mean():.2e}")
+        # NOTE: the warm loop follows the production solver's OWN closed-loop
+        # states, so tiny arithmetic changes reshuffle WHICH states are
+        # visited — max jitters across equivalent solver variants (measured
+        # 6e-3..1.4e-2); the p99/mean and the fixed cold-start set are the
+        # comparable numbers.
     print("  contract: <= 1e-3 typical (BASELINE); cold starts are the hardest")
     if not solver_over:
         assert errs.mean() <= 3e-4 and errs.max() <= 2e-3, "accuracy regression"

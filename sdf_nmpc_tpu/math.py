@@ -230,6 +230,43 @@ def rad(angle):
 
 
 # ---------------------------------------------------------------------------
+# Mosaic-lowerable inverse trig (Pallas TPU kernels have no atan2/asin
+# lowering; these use only mul/add/div/select/abs — Cephes atanf reduction +
+# degree-9 odd minimax polynomial, ~1 f32 ulp on the reduced interval).
+# Used by the lanes-form model dynamics (ops/lin_kernels.py).
+# ---------------------------------------------------------------------------
+
+def _atan_pos(x):
+    """atan for x >= 0 (branchless Cephes-style 3-interval reduction)."""
+    big = x > 2.414213562373095  # tan(3*pi/8)
+    mid = (x > 0.4142135623730950) & ~big  # tan(pi/8)
+    x1 = jnp.where(
+        big,
+        -1.0 / jnp.maximum(x, 1e-30),
+        jnp.where(mid, (x - 1.0) / (x + 1.0), x),
+    )
+    z = x1 * x1
+    y = (
+        ((8.05374449538e-2 * z - 1.38776856032e-1) * z + 1.99777106478e-1) * z
+        - 3.33329491539e-1
+    ) * z * x1 + x1
+    return y + jnp.where(big, PI / 2, jnp.where(mid, PI / 4, 0.0))
+
+
+def atan2_poly(y, x):
+    """atan2(y, x) from Mosaic-supported primitives (see block comment)."""
+    q = _atan_pos(jnp.abs(y) / jnp.maximum(jnp.abs(x), 1e-30))
+    ang = jnp.where(x < 0, PI - q, q)
+    return jnp.where(y < 0, -ang, ang)
+
+
+def asin_poly(t):
+    """asin(t), |t| <= 1, from Mosaic-supported primitives."""
+    t = jnp.clip(t, -1.0, 1.0)
+    return atan2_poly(t, jnp.sqrt(jnp.maximum(1.0 - t * t, 0.0)))
+
+
+# ---------------------------------------------------------------------------
 # 3-variate polynomial (braking-distance surrogate)
 # ---------------------------------------------------------------------------
 

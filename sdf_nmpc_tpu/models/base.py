@@ -44,6 +44,11 @@ class ModelSpec:
     u_to_TRPYr: Optional[Callable] = None
     u_to_props: Optional[Callable] = None
     u_to_cmd: Optional[Callable] = None
+    # f in "lanes form" for the Pallas linearization kernel
+    # (ops/lin_kernels.py): f_lanes(x (nx, L), u (nu, L)) -> (nx, L) with
+    # elementwise component arithmetic only.  Optional — models without it
+    # linearize through the jacfwd fallback path.
+    f_lanes: Optional[Callable] = None
 
 
 def terminal_gate_enabled(cfg) -> bool:

@@ -12,6 +12,7 @@ behavior), consistent with every other model.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -40,6 +41,23 @@ def make_model(cfg) -> ModelSpec:
         wz = u[3] * lim.wz
         dq = m.hamilton_prod(q, jnp.stack([0.0 * wz, 0.0 * wz, 0.0 * wz, wz])) / 2
         return jnp.concatenate([v, dq, _wa(u)])
+
+    def f_lanes(x, u):
+        """f for (nx, L)/(nu, L) lane-stacked inputs (ops/lin_kernels.py);
+        golden-tested against ``f`` (tests/test_ops.py)."""
+        qraw = x[3:7]
+        inv = jax.lax.rsqrt(jnp.maximum((qraw * qraw).sum(0), 1e-30))
+        q0, q1, q2, q3 = qraw[0] * inv, qraw[1] * inv, qraw[2] * inv, qraw[3] * inv
+        v = x[7:10]
+        h = 0.5 * u[3] * lim.wz
+        return jnp.stack(
+            [
+                v[0], v[1], v[2],
+                -h * q3, h * q2, -h * q1, h * q0,
+                u[0] * lim.ax, u[1] * lim.ay, u[2] * lim.az,
+            ],
+            axis=0,
+        )
 
     def y(x, u, p):
         pos, q, v = _split(x)
@@ -86,4 +104,5 @@ def make_model(cfg) -> ModelSpec:
         ubu=np.array([1.0, 1.0, 1.0, 1.0]),
         formate_ref=formate_ref,
         u_to_acc=u_to_acc,
+        f_lanes=f_lanes,
     )

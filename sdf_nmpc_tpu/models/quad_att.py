@@ -14,6 +14,7 @@ Behavioral parity with reference sdf_nmpc/model/quad_rollpitchyawrate.py:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -53,6 +54,42 @@ def make_model(cfg) -> ModelSpec:
         _, W_a = _wrb_wa(q, u)
         dq = m.hamilton_prod(q, jnp.stack([0.0 * wz, 0.0 * wz, 0.0 * wz, wz])) / 2
         return jnp.concatenate([v, dq, W_a])
+
+    def f_lanes(x, u):
+        """f for (nx, L)/(nu, L) lane-stacked inputs (ops/lin_kernels.py).
+
+        Same arithmetic as ``f`` with the rotation products expanded in
+        components: W_R_V = Rz(2*atan2(q3, q0)) has r02=r12=r20=r21=0 and
+        r11=r00, and V_R_B @ (0,0,gamma) is gamma times euler2rot's third
+        column at yaw=0.  Equivalence with ``f`` is golden-tested
+        (tests/test_ops.py)."""
+        qraw = x[3:7]
+        inv = jax.lax.rsqrt(jnp.maximum((qraw * qraw).sum(0), 1e-30))
+        q0, q1, q2, q3 = qraw[0] * inv, qraw[1] * inv, qraw[2] * inv, qraw[3] * inv
+        v = x[7:10]
+        gamma = u[0] * lim.gamma
+        roll = u[1] * lim.roll
+        pitch = u[2] * lim.pitch
+        wz = u[3] * lim.wz
+        # cos/sin of atan2(q3, q0) algebraically (atan2 has no Mosaic
+        # lowering, and this form is exact): c = q0/|q03|, s = q3/|q03|
+        rinv = jax.lax.rsqrt(jnp.maximum(q0 * q0 + q3 * q3, 1e-30))
+        c, s = q0 * rinv, q3 * rinv
+        r00 = c * c - s * s  # = r11
+        r10 = 2 * c * s  # = -r01
+        cr, sr = jnp.cos(roll), jnp.sin(roll)
+        cp, sp = jnp.cos(pitch), jnp.sin(pitch)
+        b0 = gamma * (cr * sp)
+        b1 = gamma * (-sr)
+        b2 = gamma * (cr * cp)
+        a0 = r00 * b0 - r10 * b1
+        a1 = r10 * b0 + r00 * b1
+        a2 = (c * c + s * s) * b2 - GRAVITY
+        h = 0.5 * wz
+        return jnp.stack(
+            [v[0], v[1], v[2], -h * q3, h * q2, -h * q1, h * q0, a0, a1, a2],
+            axis=0,
+        )
 
     def y(x, u, p):
         pos, q, v = _split(x)
@@ -105,4 +142,5 @@ def make_model(cfg) -> ModelSpec:
         formate_ref=formate_ref,
         u_to_acc=u_to_acc,
         u_to_TRPYr=u_to_TRPYr,
+        f_lanes=f_lanes,
     )

@@ -9,6 +9,7 @@ the *current* attitude (W_a = quat2rot(q)·(0,0,gamma) - g·e3, :33).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -48,6 +49,47 @@ def make_model(cfg) -> ModelSpec:
         w = m.deuler_avel_map(eta) @ jnp.stack([dot_roll, dot_pitch, jnp.zeros_like(dot_roll)])
         dq = m.hamilton_prod(q, jnp.stack([jnp.zeros_like(wz), w[0], w[1], wz])) / 2
         return jnp.concatenate([v, dq, W_a])
+
+    def f_lanes(x, u):
+        """f for (nx, L)/(nu, L) lane-stacked inputs (ops/lin_kernels.py).
+
+        quat2euler / deuler_avel_map / the quat2rot third column expanded in
+        components; golden-tested against ``f`` (tests/test_ops.py)."""
+        qraw = x[3:7]
+        inv = jax.lax.rsqrt(jnp.maximum((qraw * qraw).sum(0), 1e-30))
+        q0, q1, q2, q3 = qraw[0] * inv, qraw[1] * inv, qraw[2] * inv, qraw[3] * inv
+        v = x[7:10]
+        gamma = u[0] * lim.gamma
+        roll_des = u[1] * lim.roll
+        pitch_des = u[2] * lim.pitch
+        wz = u[3] * lim.wz
+        # quat2euler roll/pitch rows (math.py quat2euler); atan2/asin have no
+        # Mosaic lowering — polynomial forms (~1 f32 ulp, math.py)
+        roll = m.atan2_poly(2 * (q0 * q1 + q2 * q3), 1 - 2 * (q1 * q1 + q2 * q2))
+        pitch = m.asin_poly(2 * (q0 * q2 - q3 * q1))
+        # W_a = gamma * (third column of quat2rot(q)) - g e3
+        a0 = gamma * (2 * (q1 * q3 + q0 * q2))
+        a1 = gamma * (2 * (q2 * q3 - q0 * q1))
+        a2 = gamma * (q0 * q0 - q1 * q1 - q2 * q2 + q3 * q3) - GRAVITY
+        dot_roll = (roll_des - roll) / TAU_ROLL
+        dot_pitch = (pitch_des - pitch) / TAU_PITCH
+        sr, cr = jnp.sin(roll), jnp.cos(roll)
+        sp, cp = jnp.sin(pitch), jnp.cos(pitch)
+        # w = deuler_avel_map(eta) @ (dot_roll, dot_pitch, 0)
+        w0 = dot_roll + (sp * sr / cp) * dot_pitch
+        w1 = cr * dot_pitch
+        # dq = hamilton(q, (0, w0, w1, wz)) / 2
+        return jnp.stack(
+            [
+                v[0], v[1], v[2],
+                0.5 * (-q1 * w0 - q2 * w1 - q3 * wz),
+                0.5 * (q0 * w0 + q2 * wz - q3 * w1),
+                0.5 * (q0 * w1 - q1 * wz + q3 * w0),
+                0.5 * (q0 * wz + q1 * w1 - q2 * w0),
+                a0, a1, a2,
+            ],
+            axis=0,
+        )
 
     def y(x, u, p):
         pos, q, v = _split(x)
@@ -104,4 +146,5 @@ def make_model(cfg) -> ModelSpec:
         formate_ref=formate_ref,
         u_to_acc=u_to_acc,
         u_to_TRPYr=u_to_TRPYr,
+        f_lanes=f_lanes,
     )

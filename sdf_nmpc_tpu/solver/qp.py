@@ -220,8 +220,9 @@ def polish_qp(
     return jnp.where(jnp.all(jnp.isfinite(z)), z, dz)
 
 
-def _mu_of(qp, lh, uh, dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u, n_terms):
-    w = qp.c0 + qp.C @ dz
+def _mu_of(qp, lh, uh, w, dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u, n_terms):
+    """Average complementarity.  w = c0 + C @ dz is passed in — every caller
+    already holds it (or an exact linear update of it), so no matvec here."""
     total = jnp.dot(dz - qp.lb, nu_l) + jnp.dot(qp.ub - dz, nu_u)
     if qp.c0.shape[0]:
         total = total + (
@@ -341,8 +342,8 @@ def solve_qp(
         nu_l = jnp.maximum(d.nu_l, d_floor)
         nu_u = jnp.maximum(d.nu_u, d_floor)
         mu = jnp.maximum(
-            _mu_of(qp, lh, uh, dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u,
-                   n_terms),
+            _mu_of(qp, lh, uh, w0, dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l,
+                   nu_u, n_terms),
             mu_min,
         )
 
@@ -351,12 +352,12 @@ def solve_qp(
         ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
         return jnp.min(ratio) if ratio.size else jnp.asarray(jnp.inf, v.dtype)
 
-    def _compl(dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u):
-        return _mu_of(qp, lh, uh, dz, sl, su, lam_l, lam_u, gam_l, gam_u,
+    def _compl(w, dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u):
+        return _mu_of(qp, lh, uh, w, dz, sl, su, lam_l, lam_u, gam_l, gam_u,
                       nu_l, nu_u, n_terms)
 
     def make_body(k_stiff_eff: int):
-      def body(carry, _):
+      def body(carry, it_idx):
         (dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u, mu,
          best_dz, best_m) = carry
         k_stiff = k_stiff_eff
@@ -372,9 +373,30 @@ def solve_qp(
         bu = jnp.maximum(qp.ub - dz, 4 * eps * (1.0 + jnp.abs(dz)))
 
         # residuals of the KKT stationarity rows
-        r_z = qp.H @ dz + qp.g - qp.C.T @ (lam_l - lam_u) - nu_l + nu_u
+        Hdz = qp.H @ dz
+        r_z = Hdz + qp.g - qp.C.T @ (lam_l - lam_u) - nu_l + nu_u
         r_sl = z1 + z2 * sl - lam_l - gam_l
         r_su = z1 + z2 * su - lam_u - gam_u
+
+        # best-iterate tracking at body ENTRY: the exact penalized objective
+        # from products already in hand (Hdz, w) — no extra matvecs.  The
+        # iterate is always strictly inside the box (step fractions + floors),
+        # so _merit's exact-penalty box term is identically zero here.  The
+        # final iterate is scored once after the scan; the initial point
+        # (it_idx 0) is excluded, so the candidate set is exactly the
+        # end-of-body tracking's {dz_1..dz_iters} — scoring the zero step too
+        # measurably degrades warm ticks (merit noise picks it over the
+        # converged step).
+        vl = jnp.maximum(lh - w, 0.0)
+        vu = jnp.maximum(w - uh, 0.0)
+        m_cur = (
+            0.5 * jnp.dot(dz, Hdz)
+            + jnp.dot(qp.g, dz)
+            + jnp.sum(z1 * (vl + vu) + 0.5 * z2 * (vl**2 + vu**2))
+        )
+        better = (m_cur < best_m) & (it_idx > 0)
+        best_dz = jnp.where(better, dz, best_dz)
+        best_m = jnp.where(better, m_cur, best_m)
 
         # ---- stiff-row split ----
         # Newton matrix M = H + C'·diag(eta)·C + diag(rb).  Near-active rows
@@ -584,8 +606,11 @@ def solve_qp(
         alpha_aff = step_len(aff, 1.0)
         (adz, adw, adsl, adsu, adlam_l, adlam_u, adgam_l, adgam_u, adnu_l, adnu_u) = aff
 
-        mu_cur = _compl(dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u)
+        mu_cur = _compl(w, dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u)
+        # w at the affine point via the exact direction product dw = C @ adz
+        # (already computed in _recover) — no fresh matvec
         mu_aff = _compl(
+            w + alpha_aff * adw,
             dz + alpha_aff * adz,
             sl + alpha_aff * adsl,
             su + alpha_aff * adsu,
@@ -621,16 +646,13 @@ def solve_qp(
         nu_l = jnp.maximum(nu_l + alpha * dnu_l, d_floor)
         nu_u = jnp.maximum(nu_u + alpha * dnu_u, d_floor)
 
-        mu = jnp.maximum(_compl(dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u), mu_min)
-
-        # best-iterate tracking: near the dtype's resolution the floored-gap
-        # barrier can wander; keeping the argmin of the EXACT penalized
-        # objective makes extra iterations monotonically harmless.  Cost: one
-        # (nz,nz) matvec per iteration — noise next to the factorization.
-        m_new = _merit(qp, lh, uh, dz)
-        better = m_new < best_m
-        best_dz = jnp.where(better, dz, best_dz)
-        best_m = jnp.minimum(m_new, best_m)
+        # w at the updated point via the corrector's exact dw = C @ ddz; the
+        # next body entry recomputes w from scratch, so no drift accumulates
+        mu = jnp.maximum(
+            _compl(w + alpha * dw, dz, sl, su, lam_l, lam_u, gam_l, gam_u,
+                   nu_l, nu_u),
+            mu_min,
+        )
         return (dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u, mu,
                 best_dz, best_m), None
 
@@ -645,12 +667,15 @@ def solve_qp(
     n_stiff = min(stiff_iters if stiff_iters is not None else iters, iters)
     n_warm = iters - n_stiff if k_stiff > 0 else iters
     if n_warm > 0:
-        carry, _ = jax.lax.scan(make_body(0), carry, None, length=n_warm)
+        carry, _ = jax.lax.scan(make_body(0), carry, jnp.arange(n_warm))
     if iters - n_warm > 0:
         carry, _ = jax.lax.scan(
-            make_body(k_stiff), carry, None, length=iters - n_warm
+            make_body(k_stiff), carry, jnp.arange(n_warm, iters)
         )
     (dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u, mu, best_dz, best_m) = carry
+    # the scan scored iterates at body entry; score the final one here
+    m_fin = _merit(qp, lh, uh, dz)
+    best_dz = jnp.where(m_fin < best_m, dz, best_dz)
     dz = best_dz
 
     duals = QpDuals(sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u)

@@ -153,11 +153,28 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True):
     n_cheap = nh - 1 if sdf_fast else nh
     cheap_h = ocp.h_stage_cheap if sdf_fast else ocp.h_stage
 
-    def lin_node(x, u, p, dtk, yref_k):
-        """Everything the QP needs from one shooting node (sdf row excluded
-        when the fast path is active — it is stitched in afterwards)."""
-        x_next, A, B = erk4_with_sensitivities(f, x, u, dtk)
+    # integrator linearization backend: the Pallas lanes kernel fuses the
+    # whole jacfwd-through-RK4 tangent chain into VMEM (the XLA lowering
+    # accesses ~39 GB of HBM for ~3 GFLOP at B=8192 — docs/performance.md);
+    # models opt in via f_lanes, everything else takes the jacfwd path
+    lin_impl = str(cfg.solver.get("lin_impl", "auto"))
+    use_lanes = ocp.model.f_lanes is not None and dtype == jnp.float32 and (
+        lin_impl == "pallas"
+        or (lin_impl == "auto" and jax.default_backend() == "tpu")
+    )
+    if use_lanes:
+        from ..ops.lin_kernels import make_erk4_sens_nodes
 
+        erk4_sens_nodes = make_erk4_sens_nodes(f, ocp.model.f_lanes)
+    else:
+        erk4_sens_nodes = lambda X_, U_, dt_: jax.vmap(
+            lambda x, u, d: erk4_with_sensitivities(f, x, u, d)
+        )(X_, U_, dt_)
+
+    def lin_node(x, u, p, yref_k):
+        """Everything the QP needs from one shooting node except the
+        integrator sensitivities (batched separately) and the sdf row
+        (stitched in afterwards when the fast path is active)."""
         y_fn = lambda xv, uv: ocp.y(xv, uv, p)
         y_val = y_fn(x, u)
         Jyx = jax.jacfwd(y_fn, argnums=0)(x, u)
@@ -177,8 +194,7 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True):
         # model/ocp functions may emit wider types (e.g. f64 literals under a
         # global x64 setting); pin everything to the solver dtype
         return tuple(
-            jnp.asarray(v, dtype)
-            for v in (x_next, A, B, res, Jyx, Jyu, h_val, Jhx, Jhu)
+            jnp.asarray(v, dtype) for v in (res, Jyx, Jyu, h_val, Jhx, Jhu)
         )
 
     use_riccati = str(cfg.solver.get("qp_backend", "condensed")) == "riccati"
@@ -227,8 +243,12 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True):
         WN = jnp.asarray(inp.WN, dtype)
 
         # ---- 1. per-node linearization (parallel over nodes) ----
-        x_next, A, B, res, Jyx, Jyu, h_val, Jhx, Jhu = jax.vmap(lin_node)(
-            X[:N], U, p[:N], dt, jnp.asarray(inp.yref, dtype)
+        x_next, A, B = erk4_sens_nodes(X[:N], U, dt)
+        x_next = jnp.asarray(x_next, dtype)
+        A = jnp.asarray(A, dtype)
+        B = jnp.asarray(B, dtype)
+        res, Jyx, Jyu, h_val, Jhx, Jhu = jax.vmap(lin_node)(
+            X[:N], U, p[:N], jnp.asarray(inp.yref, dtype)
         )
         defect = x_next - X[1:]  # (N, nx) multiple-shooting defects
 

@@ -117,3 +117,23 @@ def test_allocation_quad_hover():
     thrust = Gf @ w2
     np.testing.assert_allclose(thrust, [0, 0, 4], atol=1e-9)
     np.testing.assert_allclose(Gt @ w2, 0, atol=1e-9)
+
+
+def test_atan2_asin_poly():
+    """Mosaic-lowerable inverse trig tracks numpy to f32 ulp-level."""
+    import numpy as np
+    import jax.numpy as jnp
+    from sdf_nmpc_tpu import math as m
+
+    rng = np.random.default_rng(5)
+    y = rng.normal(size=4096).astype(np.float32) * 3
+    x = rng.normal(size=4096).astype(np.float32) * 3
+    got = np.asarray(m.atan2_poly(jnp.asarray(y), jnp.asarray(x)))
+    np.testing.assert_allclose(got, np.arctan2(y, x), atol=5e-7)
+    # axis cases
+    got0 = np.asarray(m.atan2_poly(jnp.asarray([1.0, -1.0, 0.0]), jnp.asarray([0.0, 0.0, 1.0])))
+    np.testing.assert_allclose(got0, [np.pi / 2, -np.pi / 2, 0.0], atol=5e-7)
+    t = rng.uniform(-1, 1, size=4096).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(m.asin_poly(jnp.asarray(t))), np.arcsin(t), atol=1e-6
+    )

@@ -62,3 +62,77 @@ def test_fused_larger_batch():
     df_o, gr_o = oracle(pos, latent)
     np.testing.assert_allclose(np.asarray(df_f), np.asarray(df_o), atol=2e-4)
     np.testing.assert_allclose(np.asarray(gr_f), np.asarray(gr_o), atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# lanes ERK4 linearization kernel (ops/lin_kernels.py)
+# ---------------------------------------------------------------------------
+
+
+def _model(key="att"):
+    from sdf_nmpc_tpu.config import default_config
+    from sdf_nmpc_tpu.models import make_model
+
+    return make_model(default_config().replace(mpc=dict(model=key)))
+
+
+def _rand_xu(rng, n):
+    x = rng.normal(size=(n, 10)).astype(np.float32)
+    x[:, 3:7] += np.array([1.5, 0, 0, 0], np.float32)  # non-degenerate quats
+    u = rng.uniform(-0.9, 0.9, size=(n, 4)).astype(np.float32)
+    u[:, 0] = rng.uniform(0.1, 0.9, size=n)
+    return x, u
+
+
+@pytest.mark.parametrize("key", ["acc", "att", "att_tau"])
+def test_f_lanes_matches_f(key):
+    model = _model(key)
+    assert model.f_lanes is not None
+    rng = np.random.default_rng(7)
+    x, u = _rand_xu(rng, 32)
+    want = jax.vmap(model.f)(jnp.asarray(x), jnp.asarray(u))
+    got = model.f_lanes(jnp.asarray(x.T), jnp.asarray(u.T)).T
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
+def test_erk4_sens_lanes_matches_jacfwd():
+    from sdf_nmpc_tpu.ops.lin_kernels import erk4_sens_lanes
+    from sdf_nmpc_tpu.solver.integrator import erk4_with_sensitivities
+
+    model = _model()
+    rng = np.random.default_rng(3)
+    M = 37  # deliberately not a lane multiple
+    x, u = _rand_xu(rng, M)
+    dt = rng.uniform(0.01, 0.1, size=M).astype(np.float32)
+
+    xn, A, B = erk4_sens_lanes(
+        model.f_lanes, jnp.asarray(x), jnp.asarray(u), jnp.asarray(dt), interpret=True
+    )
+    want = jax.vmap(
+        lambda xv, uv, d: erk4_with_sensitivities(model.f, xv, uv, d)
+    )(jnp.asarray(x), jnp.asarray(u), jnp.asarray(dt))
+    np.testing.assert_allclose(np.asarray(xn), np.asarray(want[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(A), np.asarray(want[1]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(B), np.asarray(want[2]), atol=1e-4)
+
+
+def test_erk4_sens_nodes_vmap_rule():
+    """The custom_vmap wrapper dispatches a (B, N) node set to the lanes
+    kernel and matches the unbatched jacfwd path."""
+    from sdf_nmpc_tpu.ops.lin_kernels import make_erk4_sens_nodes
+
+    model = _model()
+    nodes = make_erk4_sens_nodes(model.f, model.f_lanes)
+    rng = np.random.default_rng(11)
+    Bb, N = 3, 5
+    x, u = _rand_xu(rng, Bb * N)
+    X = jnp.asarray(x.reshape(Bb, N, 10))
+    U = jnp.asarray(u.reshape(Bb, N, 4))
+    dt = jnp.asarray(rng.uniform(0.01, 0.1, size=N).astype(np.float32))
+
+    xn_b, A_b, B_b = jax.jit(jax.vmap(lambda Xs, Us: nodes(Xs, Us, dt)))(X, U)
+    for b in range(Bb):
+        xn, A, Bm = nodes(X[b], U[b], dt)
+        np.testing.assert_allclose(np.asarray(xn_b[b]), np.asarray(xn), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(A_b[b]), np.asarray(A), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(B_b[b]), np.asarray(Bm), atol=1e-4)
