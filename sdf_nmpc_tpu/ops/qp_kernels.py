@@ -188,6 +188,158 @@ def solve_lanes(L_bl, RHS_bl, interpret: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# stiff-split (Woodbury) fused kernels: the interior point's stiff pass
+# excludes the k most-active rows Cs from the factored matrix A and applies
+# them exactly via  M^-1 b = A^-1 b - A^-1 Cs' T^-1 Cs A^-1 b  with
+# T = diag(1/eta_s) + Cs A^-1 Cs'  (solver/qp.py).  Composed from the plain
+# factor/resolve kernels, T's build (Cs @ Xs', a k x k Gram per scenario) and
+# every woodbury application (Cs @ x, T-solve, Xs' @ y) were XLA-side batched
+# small GEMMs — the same pad-to-128x128-tiles HBM pathology the lanes kernels
+# exist to avoid.  These kernels run the ENTIRE stiff solve in VMEM:
+# factor A -> solve [rhs; Cs'] -> build+factor T -> correct, one pass.
+# ---------------------------------------------------------------------------
+
+
+def _wood_correct(L_T, Cs, Xs, X, n: int, k: int, r: int):
+    """In-place Woodbury correction of X (r, n, LANES): X -= Xs' T^-1 Cs X,
+    with T pre-factored in L_T (k, k, LANES).  Cs/Xs: (k, n, LANES)."""
+    # u = Cs @ x per rhs: k values of (r, LANES)
+    u = [jnp.sum(Cs[i][None] * X[:, :, :], axis=1) for i in range(k)]
+    # y = T^-1 u via the factored L_T, fully unrolled (k is tiny, and
+    # value-level .at[].set lowers to scatter which Mosaic lacks)
+    ys = []
+    for j in range(k):
+        acc = 0.0
+        for m in range(j):
+            acc = acc + L_T[j, m, :][None] * ys[m]
+        ys.append((u[j] - acc) / L_T[j, j, :][None])
+    xs = [None] * k
+    for i in range(k):
+        j = k - 1 - i
+        acc = 0.0
+        for m in range(j + 1, k):
+            acc = acc + L_T[m, j, :][None] * xs[m]
+        xs[j] = (ys[j] - acc) / L_T[j, j, :][None]
+    # X -= Xs' y : sum_k Xs[k, n] * y[k]
+    upd = jnp.zeros_like(X)
+    for i in range(k):
+        upd = upd + Xs[i][None, :, :] * xs[i][:, None, :]
+    return X - upd
+
+
+def _stiff_factor_solve_kernel(
+    A_ref, B_ref, Cs_ref, dsi_ref, X_ref, L_ref, Xs_ref, Lt_ref, *, n, k, r, eps
+):
+    # factor A in place in L_ref (aliased with A_ref)
+    L_ref[:, :, :] = A_ref[:, :, :]
+    _chol_lanes(L_ref, n)
+    # solve the r Newton rhs rows
+    _tri_solve_lanes(L_ref, B_ref, X_ref, n)
+    # solve the k Woodbury columns
+    _tri_solve_lanes(L_ref, Cs_ref, Xs_ref, n)
+    Xs = Xs_ref[:, :, :]
+    Cs = Cs_ref[:, :, :]
+    # T = Cs @ Xs' + diag(ds_inv), factored in place in Lt_ref
+    for i in range(k):
+        Lt_ref[i, :, :] = jnp.sum(Cs[i][None] * Xs, axis=1)
+    for i in range(k):
+        d = Lt_ref[i, i, :] + dsi_ref[i, :]
+        Lt_ref[i, i, :] = d + eps * (jnp.abs(d) + 1e-30)
+    _chol_lanes(Lt_ref, k)
+    # Woodbury-correct the Newton rows
+    X_ref[:, :, :] = _wood_correct(
+        Lt_ref[:, :, :], Cs, Xs, X_ref[:, :, :], n, k, r
+    )
+
+
+def _stiff_resolve_kernel(L_ref, Cs_ref, Xs_ref, Lt_ref, B_ref, X_ref, *, n, k, r):
+    _tri_solve_lanes(L_ref, B_ref, X_ref, n)
+    X_ref[:, :, :] = _wood_correct(
+        Lt_ref[:, :, :], Cs_ref[:, :, :], Xs_ref[:, :, :], X_ref[:, :, :], n, k, r
+    )
+
+
+def stiff_factor_solve_lanes(A_bl, RHS_bl, Cs_bl, dsi_bl, interpret: bool = False):
+    """Fused stiff-split factor+solve, lanes layout.
+
+    A (n, n, B), RHS (r, n, B), Cs (k, n, B), ds_inv (k, B) ->
+    (X (r, n, B) Woodbury-corrected, L (n, n, B), Xs (k, n, B), Lt (k, k, B)).
+    """
+    n = A_bl.shape[0]
+    r = RHS_bl.shape[0]
+    k = Cs_bl.shape[0]
+    B = A_bl.shape[-1]
+    assert B % LANES == 0 and n % 8 == 0 and k % 8 == 0, (n, k, B)
+    grid = (B // LANES,)
+    eps = 10 * float(jnp.finfo(jnp.float32).eps)
+    kern = partial(_stiff_factor_solve_kernel, n=n, k=k, r=r, eps=eps)
+    X, L, Xs, Lt = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n, n, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, n, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, n, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((r, n, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, n, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, n, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, k, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, n, B), jnp.float32),
+            jax.ShapeDtypeStruct((n, n, B), jnp.float32),
+            jax.ShapeDtypeStruct((k, n, B), jnp.float32),
+            jax.ShapeDtypeStruct((k, k, B), jnp.float32),
+        ],
+        input_output_aliases={0: 1},  # A donated to L: factor in place
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(
+        jnp.asarray(A_bl, jnp.float32),
+        jnp.asarray(RHS_bl, jnp.float32),
+        jnp.asarray(Cs_bl, jnp.float32),
+        jnp.asarray(dsi_bl, jnp.float32),
+    )
+    return X, L, Xs, Lt
+
+
+def stiff_resolve_lanes(L_bl, Cs_bl, Xs_bl, Lt_bl, RHS_bl, interpret: bool = False):
+    """Extra Woodbury-corrected solves against a stiff factor set."""
+    n = L_bl.shape[0]
+    k = Cs_bl.shape[0]
+    r = RHS_bl.shape[0]
+    B = L_bl.shape[-1]
+    grid = (B // LANES,)
+    kern = partial(_stiff_resolve_kernel, n=n, k=k, r=r)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n, n, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, n, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, n, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, k, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, n, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (r, n, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((r, n, B), jnp.float32),
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(
+        jnp.asarray(L_bl, jnp.float32),
+        jnp.asarray(Cs_bl, jnp.float32),
+        jnp.asarray(Xs_bl, jnp.float32),
+        jnp.asarray(Lt_bl, jnp.float32),
+        jnp.asarray(RHS_bl, jnp.float32),
+    )
+
+
+# ---------------------------------------------------------------------------
 # custom_vmap wrappers: solver/qp.py stays single-scenario; under the callers'
 # vmap the WHOLE batch dispatches to the lanes kernels.  L is carried between
 # factor and solve as moveaxis views of the lanes array — the moveaxis pairs
@@ -272,5 +424,91 @@ def _nrs_rule(axis_size, in_batched, L, RHS):
         Lp = jnp.where(eye_mask[:, None, None], jnp.eye(n, dtype=Lp.dtype)[None], Lp)
     X_bl = solve_lanes(
         jnp.moveaxis(Lp, 0, -1), jnp.moveaxis(RHSp, 0, -1), interpret=_interp()
+    )
+    return jnp.moveaxis(X_bl, -1, 0)[:B], True
+
+
+@custom_batching.custom_vmap
+def stiff_factor_solve(A, RHS, Cs, ds_inv):
+    """(A (n,n), RHS (r,n), Cs (k,n), ds_inv (k,)) ->
+    (X (r,n) Woodbury-corrected, handle (L, Xs, Lt) for stiff_resolve).
+
+    Solves the stiff-split Newton system M = A + Cs' diag(1/ds_inv) Cs
+    through the well-conditioned augmented form (solver/qp.py).  Single-
+    scenario fallback: XLA Cholesky + explicit Woodbury.  Batched: one fused
+    lanes kernel."""
+    eps = 10 * jnp.finfo(A.dtype).eps
+    L = jnp.linalg.cholesky(A)
+    X0 = jax.scipy.linalg.cho_solve((L, True), RHS.T).T
+    Xs = jax.scipy.linalg.cho_solve((L, True), Cs.T).T  # (k, n)
+    T = Cs @ Xs.T + jnp.diag(ds_inv)
+    T = T + jnp.diag(eps * (jnp.abs(jnp.diag(T)) + 1e-30))
+    Lt = jnp.linalg.cholesky(T)
+    y = jax.scipy.linalg.cho_solve((Lt, True), Cs @ X0.T)  # (k, r)
+    return X0 - (Xs.T @ y).T, (L, Xs, Lt)
+
+
+@stiff_factor_solve.def_vmap
+def _sfs_rule(axis_size, in_batched, A, RHS, Cs, dsi):
+    A, RHS, Cs, dsi = _bcast_unbatched(axis_size, in_batched, A, RHS, Cs, dsi)
+    n = A.shape[-1]
+    Ap, B = _pad_lanes(A, 0)
+    RHSp, _ = _pad_lanes(RHS, 0)
+    Csp, _ = _pad_lanes(Cs, 0)
+    dsip, _ = _pad_lanes(dsi, 0)
+    Bp = Ap.shape[0]
+    if Bp != B:
+        # pad block must stay factorizable: A = I, Cs = 0, T = diag(1)
+        eye_mask = jnp.arange(Bp) >= B
+        Ap = jnp.where(eye_mask[:, None, None], jnp.eye(n, dtype=Ap.dtype)[None], Ap)
+        dsip = jnp.where(eye_mask[:, None], 1.0, dsip)
+    X_bl, L_bl, Xs_bl, Lt_bl = stiff_factor_solve_lanes(
+        jnp.moveaxis(Ap, 0, -1),
+        jnp.moveaxis(RHSp, 0, -1),
+        jnp.moveaxis(Csp, 0, -1),
+        jnp.moveaxis(dsip, 0, -1),
+        interpret=_interp(),
+    )
+    out = (
+        jnp.moveaxis(X_bl, -1, 0)[:B],
+        (
+            jnp.moveaxis(L_bl, -1, 0)[:B],
+            jnp.moveaxis(Xs_bl, -1, 0)[:B],
+            jnp.moveaxis(Lt_bl, -1, 0)[:B],
+        ),
+    )
+    return out, (True, (True, True, True))
+
+
+@custom_batching.custom_vmap
+def stiff_resolve(L, Xs, Lt, Cs, RHS):
+    """Extra Woodbury-corrected solves against a stiff_factor_solve handle."""
+    X0 = jax.scipy.linalg.cho_solve((L, True), RHS.T).T
+    y = jax.scipy.linalg.cho_solve((Lt, True), Cs @ X0.T)
+    return X0 - (Xs.T @ y).T
+
+
+@stiff_resolve.def_vmap
+def _srs_rule(axis_size, in_batched, L, Xs, Lt, Cs, RHS):
+    L, Xs, Lt, Cs, RHS = _bcast_unbatched(axis_size, in_batched, L, Xs, Lt, Cs, RHS)
+    n = L.shape[-1]
+    k = Lt.shape[-1]
+    Lp, B = _pad_lanes(L, 0)
+    Xsp, _ = _pad_lanes(Xs, 0)
+    Ltp, _ = _pad_lanes(Lt, 0)
+    Csp, _ = _pad_lanes(Cs, 0)
+    RHSp, _ = _pad_lanes(RHS, 0)
+    Bp = Lp.shape[0]
+    if Bp != B:
+        eye_mask = jnp.arange(Bp) >= B
+        Lp = jnp.where(eye_mask[:, None, None], jnp.eye(n, dtype=Lp.dtype)[None], Lp)
+        Ltp = jnp.where(eye_mask[:, None, None], jnp.eye(k, dtype=Ltp.dtype)[None], Ltp)
+    X_bl = stiff_resolve_lanes(
+        jnp.moveaxis(Lp, 0, -1),
+        jnp.moveaxis(Csp, 0, -1),
+        jnp.moveaxis(Xsp, 0, -1),
+        jnp.moveaxis(Ltp, 0, -1),
+        jnp.moveaxis(RHSp, 0, -1),
+        interpret=_interp(),
     )
     return jnp.moveaxis(X_bl, -1, 0)[:B], True

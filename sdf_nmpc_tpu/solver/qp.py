@@ -272,17 +272,60 @@ def solve_qp(
     attribution experiments (docs/performance.md); None for production."""
     del eps_min
     if chol_impl == "auto":
-        # pallas = batch-on-lanes factor+solve kernels (ops/qp_kernels.py):
-        # +28% step throughput over the blocked-linalg 'custom' path at
-        # production batch (docs/performance.md).  Unbatched (B=1) the
-        # custom_vmap wrappers fall back to XLA Cholesky — the B=1 winner —
-        # so 'pallas' is the right auto choice at every batch size.
-        chol_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # fused = whole-iteration IP kernel (ops/ip_kernel.py): the entire
+        # Mehrotra iteration runs VMEM-resident, 22.8k -> 28.6k solves/s over
+        # the composed per-piece kernels at production batch
+        # (docs/performance.md).  Unsupported configurations (f64, warm
+        # duals, polish, ir_steps) fall back to the composed 'pallas' path
+        # below, and unbatched (B=1) calls take the custom_vmap primal —
+        # XLA Cholesky, the B=1 winner — so 'fused' is safe at every batch.
+        chol_impl = "fused" if jax.default_backend() == "tpu" else "xla"
+    if chol_impl == "fused":
+        # whole-iteration fused IP kernel (ops/ip_kernel.py): covers the
+        # production configuration; anything else falls back to the composed
+        # pallas path below
+        supported = (
+            jnp.dtype(qp.g.dtype) == jnp.float32
+            and warm_duals is None
+            and compute_dtype is None
+            and not polish
+            and ir_steps == 0
+            and qp.c0.shape[0] > 0
+        )
+        if supported:
+            from ..ops.ip_kernel import make_fused_solve
+
+            n_stiff_f = min(stiff_iters if stiff_iters is not None else iters,
+                            iters)
+            fused = make_fused_solve(
+                iters=iters,
+                n_warm=iters - n_stiff_f if k_stiff > 0 else iters,
+                k_stiff=k_stiff,
+                mu0=mu0,
+                box_margin=box_margin,
+                ratio_cap_override=ratio_cap_override,
+            )
+            dz_f, kkt_f, mu_f, *duals_f = fused(
+                qp.H, qp.g, qp.C, qp.c0, qp.lh, qp.uh, qp.z1, qp.z2,
+                qp.lb, qp.ub,
+            )
+            return QpResult(
+                dz=dz_f,
+                kkt_residual=kkt_f,
+                complementarity=mu_f,
+                duals=QpDuals(*duals_f),
+            )
+        chol_impl = "pallas"
     use_custom = chol_impl == "custom"
     if chol_impl == "pallas" and jnp.dtype(qp.g.dtype) == jnp.float64:
         chol_impl = "xla"  # the lanes kernels are f32; keep f64 runs exact
     if chol_impl == "pallas":
-        from ..ops.qp_kernels import newton_factor_solve, newton_resolve
+        from ..ops.qp_kernels import (
+            newton_factor_solve,
+            newton_resolve,
+            stiff_factor_solve,
+            stiff_resolve,
+        )
     factor_dtype = qp.g.dtype
     if compute_dtype is not None:
         qp = QpData(*[jnp.asarray(v, compute_dtype) for v in qp])
@@ -502,61 +545,70 @@ def solve_qp(
         rhs_aff = _rhs_of(*aff_t)
 
         Af = jnp.asarray(A, factor_dtype)
-        RHS1 = rhs_aff[None]
-        if k_s > 0:
-            RHS1 = jnp.concatenate([RHS1, Cs], axis=0)
-        RHS1 = jnp.asarray(RHS1, factor_dtype)
-        if chol_impl == "pallas":
-            X1, Lh = newton_factor_solve(Af, RHS1)
-            solve_more = lambda R: newton_resolve(
-                Lh, jnp.asarray(R, factor_dtype)
-            ).astype(dtype)
-            X1 = X1.astype(dtype)
-        elif use_custom:
-            fac, n_orig = spd_factor_batched(Af)
-
-            def solve_more(R):
-                Rf = jnp.asarray(R, factor_dtype)
-                if R.shape[0] == 1:  # vector path: lane-wide ops, no k=1 GEMMs
-                    return spd_factor_solve(fac, n_orig, Rf[0])[None].astype(dtype)
-                return spd_factor_solve_mrhs(fac, n_orig, Rf.T).T.astype(dtype)
-
-            X1 = solve_more(RHS1)
-        else:
-            Lx = jnp.linalg.cholesky(Af)
-            solve_more = lambda R: jax.scipy.linalg.cho_solve(
-                (Lx, True), jnp.asarray(R, factor_dtype).T
-            ).T.astype(dtype)
-            X1 = solve_more(RHS1)
-
-        if k_s > 0:
-            Xs = X1[1:]  # (k_s, nz) rows = A^-1 Cs_i
+        fused_stiff = chol_impl == "pallas" and k_s > 0 and k_s % 8 == 0
+        if fused_stiff:
+            # the ENTIRE stiff solve — factor A, Woodbury columns, T build +
+            # factor, correction — runs as one fused lanes-kernel pass
+            # (ops/qp_kernels.py stiff_factor_solve); the composed form paid
+            # XLA-side batched small GEMMs (T build, Cs@x, Xs'y per apply)
+            # with pad-to-MXU-tile HBM traffic (docs/performance.md)
             d_s_inv = jnp.minimum(1.0 / jnp.maximum(d_s, 1e-30), 1e30)
-            T = Cs @ Xs.T + jnp.diag(d_s_inv)
-            T = T + jnp.diag(
-                10 * jnp.finfo(factor_dtype).eps * (jnp.abs(jnp.diag(T)) + 1e-30)
+            Cs_f = jnp.asarray(Cs, factor_dtype)
+            X1, sf_handle = stiff_factor_solve(
+                Af,
+                jnp.asarray(rhs_aff[None], factor_dtype),
+                Cs_f,
+                jnp.asarray(d_s_inv, factor_dtype),
             )
-            if chol_impl == "pallas" and k_s % 8 == 0:
-                # T is tiny (k_s x k_s) but there are B of them: XLA's batched
-                # small Cholesky/trisolves don't vectorize across the batch
-                # (the same pathology as the (nz, nz) systems — measured
-                # ~2x stiff-iteration cost, docs/performance.md); factor once
-                # through the lanes kernel and resolve per Woodbury apply
-                _, Lt_h = newton_factor_solve(
-                    jnp.asarray(T, factor_dtype),
-                    jnp.zeros((1, k_s), factor_dtype),
-                )
-                t_solve = lambda b: newton_resolve(
-                    Lt_h, jnp.asarray(b, factor_dtype)[None]
-                )[0].astype(dtype)
+            X1 = X1.astype(dtype)
+            solve_more = lambda R: stiff_resolve(
+                *sf_handle, Cs_f, jnp.asarray(R, factor_dtype)
+            ).astype(dtype)
+            woodbury = lambda x: x
+        else:
+            RHS1 = rhs_aff[None]
+            if k_s > 0:
+                RHS1 = jnp.concatenate([RHS1, Cs], axis=0)
+            RHS1 = jnp.asarray(RHS1, factor_dtype)
+            if chol_impl == "pallas":
+                X1, Lh = newton_factor_solve(Af, RHS1)
+                solve_more = lambda R: newton_resolve(
+                    Lh, jnp.asarray(R, factor_dtype)
+                ).astype(dtype)
+                X1 = X1.astype(dtype)
+            elif use_custom:
+                fac, n_orig = spd_factor_batched(Af)
+
+                def solve_more(R):
+                    Rf = jnp.asarray(R, factor_dtype)
+                    if R.shape[0] == 1:  # vector path: lane ops, no k=1 GEMMs
+                        return spd_factor_solve(fac, n_orig, Rf[0])[None].astype(
+                            dtype
+                        )
+                    return spd_factor_solve_mrhs(fac, n_orig, Rf.T).T.astype(dtype)
+
+                X1 = solve_more(RHS1)
             else:
+                Lx = jnp.linalg.cholesky(Af)
+                solve_more = lambda R: jax.scipy.linalg.cho_solve(
+                    (Lx, True), jnp.asarray(R, factor_dtype).T
+                ).T.astype(dtype)
+                X1 = solve_more(RHS1)
+
+            if k_s > 0:
+                Xs = X1[1:]  # (k_s, nz) rows = A^-1 Cs_i
+                d_s_inv = jnp.minimum(1.0 / jnp.maximum(d_s, 1e-30), 1e30)
+                T = Cs @ Xs.T + jnp.diag(d_s_inv)
+                T = T + jnp.diag(
+                    10 * jnp.finfo(factor_dtype).eps * (jnp.abs(jnp.diag(T)) + 1e-30)
+                )
                 Lt = jnp.linalg.cholesky(jnp.asarray(T, factor_dtype))
                 t_solve = lambda b: jax.scipy.linalg.cho_solve(
                     (Lt, True), jnp.asarray(b, factor_dtype)
                 ).astype(dtype)
-            woodbury = lambda x: x - Xs.T @ t_solve(Cs @ x)
-        else:
-            woodbury = lambda x: x
+                woodbury = lambda x: x - Xs.T @ t_solve(Cs @ x)
+            else:
+                woodbury = lambda x: x
 
         def _m_apply(x):
             """Exact Newton-matrix product (mild rows capped, stiff exact)."""
