@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .qp_kernels import (
     LANES,
-    _chol_lanes,
+    _chol_lanes_blocked,
     _round_up,
     _tri_solve_lanes,
     _wood_correct,
@@ -194,15 +194,24 @@ def _ip_iter_kernel(
         eta_mild = eta
 
     # ---- Newton matrix A = H + C' diag(eta_mild) C + diag(rb) + jitter ----
+    # Lower triangle only: _chol_lanes/_tri_solve_lanes never read the upper
+    # (column reads are masked to rows >= j, row reads to k <= j), and the
+    # contraction over nc is the kernel's single largest FLOP block — the
+    # triangular build halves it.  The mirror write keeps the scratch clean
+    # for the masked full-width rank-1 updates.
     P = C * eta_mild[:, None, :]  # (nc, nz, L)
-    iota_z = jax.lax.broadcasted_iota(jnp.int32, (nz, LANES), 0)
     for j in range(nz):
-        col = (
-            H_ref[:, j, :]
-            + jnp.sum(P * C[:, j, :][:, None, :], axis=0)
-        )
-        dcol = rb[j, :] + 10 * eps * (jnp.abs(col[j, :] + rb[j, :]) + 1.0)
-        A_scr[:, j, :] = col + jnp.where(iota_z == j, dcol[None, :], 0.0)
+        low = H_ref[j:, j, :] + jnp.sum(
+            P[:, j:, :] * C[:, j, :][:, None, :], axis=0
+        )  # (nz - j, L): rows j..nz-1 of column j
+        diag = low[0, :] + rb[j, :]
+        diag = diag + 10 * eps * (jnp.abs(diag) + 1.0)
+        if j < nz - 1:  # Mosaic rejects zero-size slices at the last column
+            body = jnp.concatenate([diag[None, :], low[1:, :]], axis=0)
+        else:
+            body = diag[None, :]
+        A_scr[j:, j, :] = body
+        A_scr[j, j:, :] = body  # symmetric mirror
 
     # ---- predictor rhs (targets = 0) ----
     def _coeffs(m_tl, m_tu, m_sl, m_su):
@@ -240,7 +249,7 @@ def _ip_iter_kernel(
     rhs_aff = _rhs_of(*aff_t)
 
     # ---- factor + predictor solve (+ Woodbury set) ----
-    _chol_lanes(A_scr, nz)
+    _chol_lanes_blocked(A_scr, nz)
     X_scr[0, :, :] = rhs_aff  # borrow X as the rhs staging buffer
     _tri_solve_lanes(A_scr, X_scr, X_scr, nz)
     if k_s > 0:
@@ -255,7 +264,7 @@ def _ip_iter_kernel(
             )
             d = Lt_scr[i, i, :] + d_s_inv
             Lt_scr[i, i, :] = d + 10 * eps * (jnp.abs(d) + 1e-30)
-        _chol_lanes(Lt_scr, k_s)
+        _chol_lanes_blocked(Lt_scr, k_s)
 
         def _solve(rhs):
             X_scr[0, :, :] = rhs

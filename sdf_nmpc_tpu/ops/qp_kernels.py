@@ -69,6 +69,34 @@ def _chol_lanes(M_scr, n: int):
     jax.lax.fori_loop(0, n, step, 0, unroll=False)
 
 
+def _chol_lanes_blocked(M_scr, n: int, b: int = 8):
+    """_chol_lanes with statically-blocked trailing-submatrix updates.
+
+    The fori-loop form's masked full-width rank-1 updates do n^3 multiply-
+    adds where the factorization needs n^3/3 — fine while the kernels were
+    HBM-bound, but the fused IP kernel is VPU-bound and the factorization is
+    its largest FLOP block.  Blocking the step index statically lets each
+    rank-1 update touch only the (8-aligned, Mosaic-friendly) trailing
+    slice [kb:, kb:] — ~2.6x less vector work at n=80.  Identical result
+    (same operation order within each column).
+    """
+    assert n % b == 0, (n, b)
+    for kb in range(0, n, b):
+        m = n - kb
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, m, 1), 1)
+        for jj in range(b):
+            j = kb + jj
+            d = jax.lax.rsqrt(jnp.maximum(M_scr[j, j, :], 1e-30))
+            col = M_scr[kb:, j, :] * d[None, :]  # (m, LANES)
+            col = jnp.where(row_ids >= jj, col, 0.0)
+            M_scr[kb:, j, :] = col
+            upd = col[:, None, :] * col[None, :, :]  # (m, m, LANES)
+            M_scr[kb:, kb:, :] = M_scr[kb:, kb:, :] - jnp.where(
+                col_ids > jj, upd, 0.0
+            )
+
+
 def _tri_solve_lanes(M_scr, b_ref, x_ref, n: int):
     """L L^T X = B with the factored scratch, ALL r right-hand sides per
     recursion step.  b_ref/x_ref: (r, n, LANES).
@@ -124,7 +152,7 @@ def _factor_solve_L_kernel(M_ref, B_ref, X_ref, L_ref, *, n: int, r: int):
     # aliasing (and the correct initialization in interpret mode), and the
     # factorization runs in place — halves the kernel's VMEM block footprint
     L_ref[:, :, :] = M_ref[:, :, :]
-    _chol_lanes(L_ref, n)
+    _chol_lanes_blocked(L_ref, n)
     _tri_solve_lanes(L_ref, B_ref, X_ref, n)
 
 
@@ -232,7 +260,7 @@ def _stiff_factor_solve_kernel(
 ):
     # factor A in place in L_ref (aliased with A_ref)
     L_ref[:, :, :] = A_ref[:, :, :]
-    _chol_lanes(L_ref, n)
+    _chol_lanes_blocked(L_ref, n)
     # solve the r Newton rhs rows
     _tri_solve_lanes(L_ref, B_ref, X_ref, n)
     # solve the k Woodbury columns
@@ -245,7 +273,7 @@ def _stiff_factor_solve_kernel(
     for i in range(k):
         d = Lt_ref[i, i, :] + dsi_ref[i, :]
         Lt_ref[i, i, :] = d + eps * (jnp.abs(d) + 1e-30)
-    _chol_lanes(Lt_ref, k)
+    _chol_lanes_blocked(Lt_ref, k)
     # Woodbury-correct the Newton rows
     X_ref[:, :, :] = _wood_correct(
         Lt_ref[:, :, :], Cs, Xs, X_ref[:, :, :], n, k, r
