@@ -170,6 +170,12 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True):
         erk4_sens_nodes = lambda X_, U_, dt_: jax.vmap(
             lambda x, u, d: erk4_with_sensitivities(f, x, u, d)
         )(X_, U_, dt_)
+    # condensing recursion backend: same gating as the linearization kernel
+    # but independent of f_lanes (the recursion only needs A/B/defect)
+    use_lanes_condense = dtype == jnp.float32 and (
+        lin_impl == "pallas"
+        or (lin_impl == "auto" and jax.default_backend() == "tpu")
+    )
 
     def lin_node(x, u, p, yref_k):
         """Everything the QP needs from one shooting node except the
@@ -333,25 +339,37 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True):
         # B=8192): the N log N prefix-composition matmul traffic outweighs the
         # latency of N=20 sequential steps once the batch saturates throughput.
         e0 = x0 - X[0]
-        E0 = jnp.zeros((nx, nz), dtype)
+        if use_lanes_condense:
+            # VMEM-resident lanes kernel: the vmapped scan's broadcast-
+            # multiply-reduce spills a (B, nx, nx, nz) temporary per step
+            # (~26 ms at B=8192; docs/performance.md)
+            from ..ops.condense_kernel import condense_nodes
 
-        def scan_body(carry, xs):
-            e_k, E_k = carry
-            A_k, B_k, r_k, S_k = xs
-            e_next = A_k @ e_k + r_k
-            # broadcast-multiply-reduce instead of dot_general: these (10,10)
-            # x (10,80) products are far below MXU tile size; under a batch
-            # vmap XLA pads them to full 128x128 tiles and the padding is
-            # paid in HBM traffic (measured 43 -> 26 ms for the N=20 scan at
-            # B=8192, scripts/bench_smallmm.py)
-            E_next = (A_k[:, :, None] * E_k[None, :, :]).sum(1) + (
-                B_k[:, :, None] * S_k[None, :, :]
-            ).sum(1)
-            return (e_next, E_next), (e_k, E_k)
+            e_stage, E_stage, eN, EN = condense_nodes(A, B, defect, e0)
+            e_stage = jnp.asarray(e_stage, dtype)
+            E_stage = jnp.asarray(E_stage, dtype)
+            eN = jnp.asarray(eN, dtype)
+            EN = jnp.asarray(EN, dtype)
+        else:
+            E0 = jnp.zeros((nx, nz), dtype)
 
-        (eN, EN), (e_stage, E_stage) = jax.lax.scan(
-            scan_body, (e0, E0), (A, B, defect, S)
-        )
+            def scan_body(carry, xs):
+                e_k, E_k = carry
+                A_k, B_k, r_k, S_k = xs
+                e_next = A_k @ e_k + r_k
+                # broadcast-multiply-reduce instead of dot_general: these
+                # (10,10) x (10,80) products are far below MXU tile size;
+                # under a batch vmap XLA pads them to full 128x128 tiles and
+                # the padding is paid in HBM traffic (measured 43 -> 26 ms
+                # for the N=20 scan at B=8192, scripts/bench_smallmm.py)
+                E_next = (A_k[:, :, None] * E_k[None, :, :]).sum(1) + (
+                    B_k[:, :, None] * S_k[None, :, :]
+                ).sum(1)
+                return (e_next, E_next), (e_k, E_k)
+
+            (eN, EN), (e_stage, E_stage) = jax.lax.scan(
+                scan_body, (e0, E0), (A, B, defect, S)
+            )
 
         # ---- 3. condensed Hessian / gradient / constraints ----
         # Contractions over the nx=10 axis are written as broadcast-multiply-

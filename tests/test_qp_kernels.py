@@ -152,3 +152,22 @@ def test_solve_qp_fused_matches_composed():
     np.testing.assert_allclose(
         np.asarray(rf.duals.sl), np.asarray(rp.duals.sl), rtol=0.1, atol=1e-3
     )
+
+
+def test_condense_lanes_matches_scan():
+    """Lanes condensing kernel == the reference scan (batched and single)."""
+    from sdf_nmpc_tpu.ops.condense_kernel import condense_nodes
+
+    B, N, nx, nu = 3, 5, 4, 2
+    A = jnp.asarray(RNG.normal(size=(B, N, nx, nx)) * 0.4, jnp.float32)
+    Bm = jnp.asarray(RNG.normal(size=(B, N, nx, nu)), jnp.float32)
+    d = jnp.asarray(RNG.normal(size=(B, N, nx)), jnp.float32)
+    e0 = jnp.asarray(RNG.normal(size=(B, nx)), jnp.float32)
+
+    out_b = jax.jit(jax.vmap(condense_nodes))(A, Bm, d, e0)
+    for b in range(B):
+        out_s = condense_nodes(A[b], Bm[b], d[b], e0[b])
+        for got, want in zip(out_b, out_s):
+            np.testing.assert_allclose(
+                np.asarray(got[b]), np.asarray(want), rtol=1e-5, atol=1e-5
+            )
