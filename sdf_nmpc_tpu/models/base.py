@@ -49,6 +49,10 @@ class ModelSpec:
     # elementwise component arithmetic only.  Optional — models without it
     # linearize through the jacfwd fallback path.
     f_lanes: Optional[Callable] = None
+    # stage residual in lanes form: y_lanes(x (nx, L), u (nu, L),
+    # q_d (4, L)) -> (ny, L); lets the linearization kernel emit the cost
+    # rows' Jacobians in the same fused pass.
+    y_lanes: Optional[Callable] = None
 
 
 def terminal_gate_enabled(cfg) -> bool:

@@ -91,6 +91,33 @@ def make_model(cfg) -> ModelSpec:
             axis=0,
         )
 
+    def y_lanes(x, u, q_d):
+        """Stage residual for (nx, L)/(nu, L)/(4, L) lane-stacked inputs
+        (ops/lin_kernels.py): same arithmetic as ``y`` with the Hamilton
+        product expanded (only q_e's z-component appears in y) and W_a[2]
+        from the yaw-decomposed form (see f_lanes).  Golden-tested against
+        ``y`` (tests/test_ops.py)."""
+        qraw = x[3:7]
+        inv = jax.lax.rsqrt(jnp.maximum((qraw * qraw).sum(0), 1e-30))
+        q0, q1, q2, q3 = qraw[0] * inv, qraw[1] * inv, qraw[2] * inv, qraw[3] * inv
+        # quat_invert re-normalizes (math.py:131): mirror the second divide
+        s = jax.lax.rsqrt(jnp.maximum(q0 * q0 + q1 * q1 + q2 * q2 + q3 * q3, 1e-30))
+        qi0, qi1, qi2, qi3 = q0 * s, -q1 * s, -q2 * s, -q3 * s
+        qd0, qd1, qd2, qd3 = q_d[0], q_d[1], q_d[2], q_d[3]
+        # hamilton(q_d, qi) z-component (math.py:138)
+        qe3 = qd0 * qi3 + qd1 * qi2 - qd2 * qi1 + qd3 * qi0
+        gamma = u[0] * lim.gamma
+        roll = u[1] * lim.roll
+        pitch = u[2] * lim.pitch
+        wz = u[3] * lim.wz
+        rinv = jax.lax.rsqrt(jnp.maximum(q0 * q0 + q3 * q3, 1e-30))
+        c, sy = q0 * rinv, q3 * rinv
+        a2 = (c * c + sy * sy) * (gamma * jnp.cos(roll) * jnp.cos(pitch)) - GRAVITY
+        return jnp.stack(
+            [x[0], x[1], x[2], qe3, x[7], x[8], x[9], roll, pitch, wz, a2],
+            axis=0,
+        )
+
     def y(x, u, p):
         pos, q, v = _split(x)
         roll = u[1] * lim.roll
@@ -143,4 +170,5 @@ def make_model(cfg) -> ModelSpec:
         u_to_acc=u_to_acc,
         u_to_TRPYr=u_to_TRPYr,
         f_lanes=f_lanes,
+        y_lanes=y_lanes,
     )

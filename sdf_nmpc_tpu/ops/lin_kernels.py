@@ -160,3 +160,140 @@ def make_erk4_sens_nodes(f, f_lanes):
         return out, (True, True, True)
 
     return erk4_sens_nodes
+
+
+# ---------------------------------------------------------------------------
+# Combined ERK4 + stage-residual linearization: one jax.linearize covers the
+# dynamics map AND the cost residual, so the 14 unit-tangent sweeps emit
+# (A, B) and (Jyx, Jyu) together from shared loads.  The standalone y-jacfwd
+# path cost ~29 ms at B=8192 (in-context ablation, docs/performance.md).
+# ---------------------------------------------------------------------------
+
+
+def _erk4_y_sens_kernel(
+    x_ref, u_ref, dt_ref, qd_ref, yref_ref,
+    xn_ref, A_ref, B_ref, res_ref, Jyx_ref, Jyu_ref,
+    *, f_lanes, y_lanes, nx, nu, ny,
+):
+    x = x_ref[...]
+    u = u_ref[...]
+    dt = dt_ref[0, :]
+    qd = qd_ref[...]
+
+    def both(x_, u_):
+        return erk4(f_lanes, x_, u_, dt), y_lanes(x_, u_, qd)
+
+    (x_next, y_val), lin = jax.linearize(both, x, u)
+    xn_ref[...] = x_next
+    res_ref[...] = y_val - yref_ref[...]
+
+    row_x = jax.lax.broadcasted_iota(jnp.int32, (nx, LANES), 0)
+    row_u = jax.lax.broadcasted_iota(jnp.int32, (nu, LANES), 0)
+    zx = jnp.zeros((nx, LANES), x.dtype)
+    zu = jnp.zeros((nu, LANES), x.dtype)
+    for i in range(nx):
+        dxn, dy = lin((row_x == i).astype(x.dtype), zu)
+        A_ref[:, i, :] = dxn
+        Jyx_ref[:, i, :] = dy
+    for j in range(nu):
+        dxn, dy = lin(zx, (row_u == j).astype(x.dtype))
+        B_ref[:, j, :] = dxn
+        Jyu_ref[:, j, :] = dy
+
+
+def erk4_y_sens_lanes(f_lanes, y_lanes, X, U, dt, qd, yref,
+                      interpret: bool = False):
+    """X (M, nx), U (M, nu), dt (M,), qd (M, 4), yref (M, ny) ->
+    (x_next (M, nx), A (M, nx, nx), B (M, nx, nu), res (M, ny),
+     Jyx (M, ny, nx), Jyu (M, ny, nu))."""
+    M, nx = X.shape
+    nu = U.shape[-1]
+    ny = yref.shape[-1]
+    nq = qd.shape[-1]
+    Mp = _round_up(max(M, LANES), LANES)
+    if Mp != M:
+        pad = lambda a: jnp.pad(a, ((0, Mp - M),) + ((0, 0),) * (a.ndim - 1))
+        X, U, dt, qd, yref = pad(X), pad(U), pad(dt), pad(qd), pad(yref)
+    bl = lambda a: jnp.moveaxis(jnp.asarray(a, jnp.float32), 0, -1)
+
+    grid = (Mp // LANES,)
+    kern = partial(
+        _erk4_y_sens_kernel, f_lanes=f_lanes, y_lanes=y_lanes,
+        nx=nx, nu=nu, ny=ny,
+    )
+    v1 = lambda a: pl.BlockSpec((a, LANES), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+    v2 = lambda a, b: pl.BlockSpec((a, b, LANES), lambda i: (0, 0, i),
+                                   memory_space=pltpu.VMEM)
+    xn, A, B, res, Jyx, Jyu = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[v1(nx), v1(nu), v1(1), v1(nq), v1(ny)],
+        out_specs=[v1(nx), v2(nx, nx), v2(nx, nu), v1(ny), v2(ny, nx),
+                   v2(ny, nu)],
+        out_shape=[
+            jax.ShapeDtypeStruct((nx, Mp), jnp.float32),
+            jax.ShapeDtypeStruct((nx, nx, Mp), jnp.float32),
+            jax.ShapeDtypeStruct((nx, nu, Mp), jnp.float32),
+            jax.ShapeDtypeStruct((ny, Mp), jnp.float32),
+            jax.ShapeDtypeStruct((ny, nx, Mp), jnp.float32),
+            jax.ShapeDtypeStruct((ny, nu, Mp), jnp.float32),
+        ],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(bl(X), bl(U), jnp.asarray(dt, jnp.float32)[None, :], bl(qd), bl(yref))
+    ub = lambda a: jnp.moveaxis(a, -1, 0)[:M]
+    return ub(xn), ub(A), ub(B), ub(res), ub(Jyx), ub(Jyu)
+
+
+def make_lin_y_nodes(f, y_fn, f_lanes, y_lanes, qd_idx):
+    """Node-batched (linearization + stage residual) with a lanes batch rule.
+
+    Returns lin_y_nodes(X (N, nx), U (N, nu), dt (N,), P (N, np),
+    yref (N, ny)) -> (x_next, A, B, res, Jyx, Jyu) per node.  y_fn is the
+    composed OCP residual y(x, u, p); callers must only install this when it
+    equals the model residual that y_lanes mirrors (no extra cost rows).
+    """
+
+    @custom_batching.custom_vmap
+    def lin_y_nodes(X, U, dt, P, yref):
+        def node(x, u, d, p, yr):
+            x_next, A, B = erk4_with_sensitivities(f, x, u, d)
+            y_val = y_fn(x, u, p)
+            Jyx = jax.jacfwd(lambda xv: y_fn(xv, u, p))(x)
+            Jyu = jax.jacfwd(lambda uv: y_fn(x, uv, p))(u)
+            return x_next, A, B, y_val - yr, Jyx, Jyu
+
+        return jax.vmap(node)(X, U, dt, P, yref)
+
+    @lin_y_nodes.def_vmap
+    def _rule(axis_size, in_batched, X, U, dt, P, yref):
+        ops = [X, U, dt, P, yref]
+        ops = [
+            o if b else jnp.broadcast_to(o[None], (axis_size,) + o.shape)
+            for b, o in zip(in_batched, ops)
+        ]
+        X, U, dt, P, yref = ops
+        nx = X.shape[-1]
+        nu = U.shape[-1]
+        ny = yref.shape[-1]
+        lead = X.shape[:-1]
+        qd = P.reshape(-1, P.shape[-1])[:, jnp.asarray(qd_idx)]
+        xn, A, B, res, Jyx, Jyu = erk4_y_sens_lanes(
+            f_lanes, y_lanes,
+            X.reshape(-1, nx), U.reshape(-1, nu),
+            jnp.broadcast_to(dt, lead).reshape(-1),
+            qd, yref.reshape(-1, ny),
+            interpret=_interp(),
+        )
+        out = (
+            xn.reshape(lead + (nx,)).astype(X.dtype),
+            A.reshape(lead + (nx, nx)).astype(X.dtype),
+            B.reshape(lead + (nx, nu)).astype(X.dtype),
+            res.reshape(lead + (ny,)).astype(X.dtype),
+            Jyx.reshape(lead + (ny, nx)).astype(X.dtype),
+            Jyu.reshape(lead + (ny, nu)).astype(X.dtype),
+        )
+        return out, tuple(True for _ in out)
+
+    return lin_y_nodes

@@ -162,7 +162,23 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True):
         lin_impl == "pallas"
         or (lin_impl == "auto" and jax.default_backend() == "tpu")
     )
-    if use_lanes:
+    # fused variant: the same 14 unit-tangent sweeps also emit the stage
+    # residual Jacobians when the model provides y_lanes AND the OCP residual
+    # is exactly the model residual (no extension rows like sdf_cost)
+    use_lanes_y = (
+        use_lanes
+        and ocp.model.y_lanes is not None
+        and ocp.ny == ocp.model.ny
+    )
+    lin_y_nodes = None
+    if use_lanes_y:
+        from ..ops.lin_kernels import make_lin_y_nodes
+
+        layout_qd = ocp.layout.q_d
+        lin_y_nodes = make_lin_y_nodes(
+            f, ocp.y, ocp.model.f_lanes, ocp.model.y_lanes, layout_qd
+        )
+    elif use_lanes:
         from ..ops.lin_kernels import make_erk4_sens_nodes
 
         erk4_sens_nodes = make_erk4_sens_nodes(f, ocp.model.f_lanes)
@@ -177,15 +193,8 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True):
         or (lin_impl == "auto" and jax.default_backend() == "tpu")
     )
 
-    def lin_node(x, u, p, yref_k):
-        """Everything the QP needs from one shooting node except the
-        integrator sensitivities (batched separately) and the sdf row
-        (stitched in afterwards when the fast path is active)."""
-        y_fn = lambda xv, uv: ocp.y(xv, uv, p)
-        y_val = y_fn(x, u)
-        Jyx = jax.jacfwd(y_fn, argnums=0)(x, u)
-        Jyu = jax.jacfwd(y_fn, argnums=1)(x, u)
-
+    def h_node(x, u, p):
+        """Cheap (non-sdf) constraint rows + Jacobians for one node."""
         if cheap_h is not None:
             h_fn = lambda xv, uv: cheap_h(xv, uv, p)
             h_val = h_fn(x, u)
@@ -195,13 +204,22 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True):
             h_val = jnp.zeros(0, dtype)
             Jhx = jnp.zeros((0, nx), dtype)
             Jhu = jnp.zeros((0, nu), dtype)
+        return tuple(jnp.asarray(v, dtype) for v in (h_val, Jhx, Jhu))
 
+    def lin_node(x, u, p, yref_k):
+        """Everything the QP needs from one shooting node except the
+        integrator sensitivities (batched separately) and the sdf row
+        (stitched in afterwards when the fast path is active)."""
+        y_fn = lambda xv, uv: ocp.y(xv, uv, p)
+        y_val = y_fn(x, u)
+        Jyx = jax.jacfwd(y_fn, argnums=0)(x, u)
+        Jyu = jax.jacfwd(y_fn, argnums=1)(x, u)
         res = y_val - yref_k
         # model/ocp functions may emit wider types (e.g. f64 literals under a
         # global x64 setting); pin everything to the solver dtype
         return tuple(
-            jnp.asarray(v, dtype) for v in (res, Jyx, Jyu, h_val, Jhx, Jhu)
-        )
+            jnp.asarray(v, dtype) for v in (res, Jyx, Jyu)
+        ) + h_node(x, u, p)
 
     use_riccati = str(cfg.solver.get("qp_backend", "condensed")) == "riccati"
 
@@ -249,13 +267,22 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True):
         WN = jnp.asarray(inp.WN, dtype)
 
         # ---- 1. per-node linearization (parallel over nodes) ----
-        x_next, A, B = erk4_sens_nodes(X[:N], U, dt)
-        x_next = jnp.asarray(x_next, dtype)
-        A = jnp.asarray(A, dtype)
-        B = jnp.asarray(B, dtype)
-        res, Jyx, Jyu, h_val, Jhx, Jhu = jax.vmap(lin_node)(
-            X[:N], U, p[:N], jnp.asarray(inp.yref, dtype)
-        )
+        if use_lanes_y:
+            x_next, A, B, res, Jyx, Jyu = lin_y_nodes(
+                X[:N], U, dt, p[:N], jnp.asarray(inp.yref, dtype)
+            )
+            x_next, A, B, res, Jyx, Jyu = (
+                jnp.asarray(v, dtype) for v in (x_next, A, B, res, Jyx, Jyu)
+            )
+            h_val, Jhx, Jhu = jax.vmap(h_node)(X[:N], U, p[:N])
+        else:
+            x_next, A, B = erk4_sens_nodes(X[:N], U, dt)
+            x_next = jnp.asarray(x_next, dtype)
+            A = jnp.asarray(A, dtype)
+            B = jnp.asarray(B, dtype)
+            res, Jyx, Jyu, h_val, Jhx, Jhu = jax.vmap(lin_node)(
+                X[:N], U, p[:N], jnp.asarray(inp.yref, dtype)
+            )
         defect = x_next - X[1:]  # (N, nx) multiple-shooting defects
 
         if sdf_fast:
@@ -339,17 +366,21 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True):
         # B=8192): the N log N prefix-composition matmul traffic outweighs the
         # latency of N=20 sequential steps once the batch saturates throughput.
         e0 = x0 - X[0]
-        if use_lanes_condense:
+        G = res_c = C_stage = c_stage = None
+        if use_lanes_condense and nh > 0:
             # VMEM-resident lanes kernel: the vmapped scan's broadcast-
-            # multiply-reduce spills a (B, nx, nx, nz) temporary per step
-            # (~26 ms at B=8192; docs/performance.md)
+            # multiply-reduce spills a (B, nx, nx, nz) temporary per horizon
+            # step, and the G/C condensed-row builds spill (B, N, ny, nx, nz)
+            # temporaries (~35 ms of assembly at B=8192; docs/performance.md)
+            # — the kernel computes all of them against the VMEM-resident E
             from ..ops.condense_kernel import condense_nodes
 
-            e_stage, E_stage, eN, EN = condense_nodes(A, B, defect, e0)
-            e_stage = jnp.asarray(e_stage, dtype)
-            E_stage = jnp.asarray(E_stage, dtype)
-            eN = jnp.asarray(eN, dtype)
-            EN = jnp.asarray(EN, dtype)
+            (e_stage, E_stage, eN, EN, G, res_c, C_stage, c_stage) = [
+                jnp.asarray(v, dtype)
+                for v in condense_nodes(
+                    A, B, defect, e0, Jyx, Jyu, res, Jhx, Jhu, h_val
+                )
+            ]
         else:
             E0 = jnp.zeros((nx, nz), dtype)
 
@@ -378,11 +409,12 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True):
         # einsum forms as tiny (ny,nz)-ish GEMMs padded to full 128x128 MXU
         # tiles, paying the padding in HBM traffic (scripts/bench_smallmm.py,
         # docs/performance.md).
-        G = (Jyx[:, :, :, None] * E_stage[:, None, :, :]).sum(2) + (
-            Jyu[:, :, :, None] * S[:, None, :, :]
-        ).sum(2)  # (N, ny, nz)
+        if G is None:
+            G = (Jyx[:, :, :, None] * E_stage[:, None, :, :]).sum(2) + (
+                Jyu[:, :, :, None] * S[:, None, :, :]
+            ).sum(2)  # (N, ny, nz)
+            res_c = res + (Jyx * e_stage[:, None, :]).sum(-1)  # res at dz=0
         ny = G.shape[1]
-        res_c = res + (Jyx * e_stage[:, None, :]).sum(-1)  # residual at dz=0
         Ws = W * scale[:N, None]
 
         GN = (JxN[:, :, None] * EN[None, :, :]).sum(1)  # (nyN, nz)
@@ -409,10 +441,11 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True):
 
         # constraint rows
         if nh > 0:
-            C_stage = (Jhx[:, :, :, None] * E_stage[:, None, :, :]).sum(2) + (
-                Jhu[:, :, :, None] * S[:, None, :, :]
-            ).sum(2)
-            c_stage = h_val + (Jhx * e_stage[:, None, :]).sum(-1)
+            if C_stage is None:
+                C_stage = (Jhx[:, :, :, None] * E_stage[:, None, :, :]).sum(
+                    2
+                ) + (Jhu[:, :, :, None] * S[:, None, :, :]).sum(2)
+                c_stage = h_val + (Jhx * e_stage[:, None, :]).sum(-1)
             # slack penalties share the stage cost scaling (acados cost_scaling)
             z1_stage = jnp.broadcast_to(zl, (N, nh)) * scale[:N, None]
             z2_stage = jnp.broadcast_to(Zl, (N, nh)) * scale[:N, None]

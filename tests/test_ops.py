@@ -136,3 +136,63 @@ def test_erk4_sens_nodes_vmap_rule():
         np.testing.assert_allclose(np.asarray(xn_b[b]), np.asarray(xn), atol=1e-5)
         np.testing.assert_allclose(np.asarray(A_b[b]), np.asarray(A), atol=1e-4)
         np.testing.assert_allclose(np.asarray(B_b[b]), np.asarray(Bm), atol=1e-4)
+
+
+def test_y_lanes_matches_y():
+    model = _model("att")
+    assert model.y_lanes is not None
+    rng = np.random.default_rng(9)
+    x, u = _rand_xu(rng, 32)
+    qd = rng.normal(size=(32, 4)).astype(np.float32)
+    qd /= np.linalg.norm(qd, axis=1, keepdims=True)
+    # y(x, u, p) consumes q_d through the param layout; emulate a p vector
+    from sdf_nmpc_tpu.config import default_config
+    from sdf_nmpc_tpu.params import ParamLayout
+
+    layout = ParamLayout.from_cfg(default_config())
+    p = np.zeros((32, layout.np_total), np.float32)
+    p[:, list(layout.q_d)] = qd
+    want = jax.vmap(model.y)(jnp.asarray(x), jnp.asarray(u), jnp.asarray(p))
+    got = model.y_lanes(jnp.asarray(x.T), jnp.asarray(u.T), jnp.asarray(qd.T)).T
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_lin_y_nodes_vmap_rule():
+    """Combined ERK4+y lanes kernel matches the unbatched jacfwd path."""
+    from sdf_nmpc_tpu.config import default_config
+    from sdf_nmpc_tpu.ops.lin_kernels import make_lin_y_nodes
+    from sdf_nmpc_tpu.params import ParamLayout
+
+    model = _model("att")
+    layout = ParamLayout.from_cfg(default_config())
+
+    def y_fn(x, u, p):
+        return model.y(x, u, p)
+
+    nodes = make_lin_y_nodes(
+        model.f, y_fn, model.f_lanes, model.y_lanes, layout.q_d
+    )
+    rng = np.random.default_rng(13)
+    Bb, N = 2, 4
+    x, u = _rand_xu(rng, Bb * N)
+    X = jnp.asarray(x.reshape(Bb, N, 10))
+    U = jnp.asarray(u.reshape(Bb, N, 4))
+    dt = jnp.asarray(rng.uniform(0.01, 0.1, size=N).astype(np.float32))
+    p = np.zeros((Bb, N, layout.np_total), np.float32)
+    qd = rng.normal(size=(Bb, N, 4)).astype(np.float32)
+    qd /= np.linalg.norm(qd, axis=-1, keepdims=True)
+    p[..., list(layout.q_d)] = qd
+    P = jnp.asarray(p)
+    yref = jnp.asarray(rng.normal(size=(Bb, N, 11)).astype(np.float32))
+
+    out_b = jax.jit(
+        jax.vmap(lambda Xs, Us, Ps, yr: nodes(Xs, Us, dt, Ps, yr))
+    )(X, U, P, yref)
+    for b in range(Bb):
+        out_s = nodes(X[b], U[b], dt, P[b], yref[b])
+        for got, want in zip(out_b, out_s):
+            np.testing.assert_allclose(
+                np.asarray(got[b]), np.asarray(want), atol=2e-4, rtol=1e-4
+            )

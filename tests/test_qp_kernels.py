@@ -155,18 +155,25 @@ def test_solve_qp_fused_matches_composed():
 
 
 def test_condense_lanes_matches_scan():
-    """Lanes condensing kernel == the reference scan (batched and single)."""
+    """Lanes condensing+rows kernel == the reference scan (batched/single)."""
     from sdf_nmpc_tpu.ops.condense_kernel import condense_nodes
 
-    B, N, nx, nu = 3, 5, 4, 2
+    B, N, nx, nu, ny, nh = 3, 5, 4, 2, 6, 2
     A = jnp.asarray(RNG.normal(size=(B, N, nx, nx)) * 0.4, jnp.float32)
     Bm = jnp.asarray(RNG.normal(size=(B, N, nx, nu)), jnp.float32)
     d = jnp.asarray(RNG.normal(size=(B, N, nx)), jnp.float32)
     e0 = jnp.asarray(RNG.normal(size=(B, nx)), jnp.float32)
+    Jyx = jnp.asarray(RNG.normal(size=(B, N, ny, nx)), jnp.float32)
+    Jyu = jnp.asarray(RNG.normal(size=(B, N, ny, nu)), jnp.float32)
+    res = jnp.asarray(RNG.normal(size=(B, N, ny)), jnp.float32)
+    Jhx = jnp.asarray(RNG.normal(size=(B, N, nh, nx)), jnp.float32)
+    Jhu = jnp.asarray(RNG.normal(size=(B, N, nh, nu)), jnp.float32)
+    h = jnp.asarray(RNG.normal(size=(B, N, nh)), jnp.float32)
+    args = (A, Bm, d, e0, Jyx, Jyu, res, Jhx, Jhu, h)
 
-    out_b = jax.jit(jax.vmap(condense_nodes))(A, Bm, d, e0)
+    out_b = jax.jit(jax.vmap(condense_nodes))(*args)
     for b in range(B):
-        out_s = condense_nodes(A[b], Bm[b], d[b], e0[b])
+        out_s = condense_nodes(*[a[b] for a in args])
         for got, want in zip(out_b, out_s):
             np.testing.assert_allclose(
                 np.asarray(got[b]), np.asarray(want), rtol=1e-5, atol=1e-5
