@@ -134,17 +134,49 @@ def _kernel(p_ref, t_ref, W1, b1, W2, b2, W3, b3, W4, b4, W5, b5,
     # bf16 mode: operands truncated to bf16 (weights arrive bf16), f32
     # accumulation via preferred_element_type — one MXU pass per matmul
     # instead of HIGHEST's six; activations/biases stay f32.
-    _dot = partial(
+    # mixed mode: primal (value) rows stay exact f32/HIGHEST, the three
+    # tangent (gradient) row groups — 3/4 of the kernel's FLOPs — run one
+    # bf16 MXU pass: the constraint VALUE drives feasibility, while bf16-
+    # level error in its Jacobian is of the same nature as the one-iteration
+    # stale linearization RTI already accepts (measured u0 impact in
+    # docs/performance.md).
+    _dot1 = partial(
         jnp.dot,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT
-        if in_dtype == jnp.bfloat16
-        else jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    _dot6 = partial(
+        jnp.dot,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
+    def _dot3(Af, W):
+        """bf16x3 emulation of an f32 matmul (XLA's HIGH, which Mosaic does
+        not expose): split both operands into bf16 hi + bf16 residual and
+        take the three leading cross terms — 3 MXU passes vs HIGHEST's 6,
+        ~2^-21 relative error (the precision study shows the linearization
+        region tolerates HIGH, docs/performance.md)."""
+        Wf = W.astype(jnp.float32)
+        Ah = Af.astype(jnp.bfloat16)
+        Al = (Af - Ah.astype(jnp.float32)).astype(jnp.bfloat16)
+        Wh = Wf.astype(jnp.bfloat16)
+        Wl = (Wf - Wh.astype(jnp.float32)).astype(jnp.bfloat16)
+        return _dot1(Ah, Wh) + (_dot1(Ah, Wl) + _dot1(Al, Wh))
+
+    if in_dtype == "bf16":
+        dot_p = dot_t = lambda A, W: _dot1(A.astype(jnp.bfloat16), W[:])
+    elif in_dtype == "mixed":
+        dot_p = lambda A, W: _dot6(A, W[:])
+        dot_t = lambda A, W: _dot1(A.astype(jnp.bfloat16), W[:].astype(jnp.bfloat16))
+    elif in_dtype == "f32x3":
+        dot_p = dot_t = lambda A, W: _dot3(A, W[:])
+    else:  # exact f32
+        dot_p = dot_t = lambda A, W: _dot6(A, W[:])
+
     def dense_pair(P, T, W, b):
-        zp = _dot(P.astype(in_dtype), W[:]) + b[:]
-        zt = _dot(T.astype(in_dtype), W[:])
+        zp = dot_p(P, W) + b[:]
+        zt = dot_t(T, W)
         h, hp = _act_pair(zp, act, w0)
         hp3 = jnp.concatenate([hp, hp, hp], axis=0)  # broadcast act' to tangents
         return h, hp3 * zt
@@ -158,8 +190,8 @@ def _kernel(p_ref, t_ref, W1, b1, W2, b2, W3, b3, W4, b4, W5, b5,
     T = jnp.concatenate([T, T0], axis=1)
     H, T = dense_pair(H, T, W3, b3)
     H, T = dense_pair(H, T, W4, b4)
-    df = _dot(H.astype(in_dtype), W5[:]) + b5[:]
-    dft = _dot(T.astype(in_dtype), W5[:])
+    df = dot_p(H, W5) + b5[:]
+    dft = dot_t(T, W5)
     df_ref[:] = df[:, :128]
     # tangent rows are stacked [d/dx; d/dy; d/dz] blocks of bp rows
     gr_ref[:] = jnp.concatenate(
@@ -174,11 +206,14 @@ def make_fused_sdf(module, params, tile: int = 256, interpret: bool = False,
     One Pallas kernel pass computes values and position gradients for the whole
     batch (all scenarios x shooting nodes at once).
 
-    dtype -- 'f32' (exact, matmuls at HIGHEST) or 'bf16' (weights + matmul
+    dtype -- 'f32' (exact, matmuls at HIGHEST), 'mixed' (exact values,
+    bf16 single-pass gradients — the tangent rows are 3/4 of the FLOPs), or
+    'bf16' (weights + matmul
     operands bf16 with f32 accumulation: 1 MXU pass/matmul vs HIGHEST's 6;
     measured accuracy in docs/performance.md).
     """
-    in_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[dtype]
+    assert dtype in ("f32", "f32x3", "bf16", "mixed"), dtype
+    in_dtype = dtype
     packed = pack_neural_df_params(module, params)
     meta = packed["meta"]
     embed_fn = packed["embed_fn"]
@@ -186,10 +221,11 @@ def make_fused_sdf(module, params, tile: int = 256, interpret: bool = False,
     nemb, L = meta["nemb"], meta["L"]
 
     weights = [packed[k] for k in ("W1", "b1", "W2", "b2", "W3", "b3", "W4", "b4", "W5", "b5")]
-    if in_dtype != jnp.float32:
+    if in_dtype == "bf16":
         # weight matrices carried in bf16 (halves their VMEM block); biases
-        # stay f32 — they add into the f32 accumulator
-        weights = [w.astype(in_dtype) if w.ndim == 2 else w for w in weights]
+        # stay f32 — they add into the f32 accumulator.  'mixed' keeps f32
+        # weights (the primal rows need them) and casts per-use in kernel.
+        weights = [w.astype(jnp.bfloat16) if w.ndim == 2 else w for w in weights]
 
     def value_and_grad(pos, latent):
         pos = jnp.asarray(pos, jnp.float32)

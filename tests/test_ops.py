@@ -196,3 +196,40 @@ def test_lin_y_nodes_vmap_rule():
             np.testing.assert_allclose(
                 np.asarray(got[b]), np.asarray(want), atol=2e-4, rtol=1e-4
             )
+
+
+def test_fused_mixed_values_exact_grads_bf16():
+    """'mixed': values match the f32 oracle exactly-ish, gradients to bf16
+    tolerance."""
+    L = 16
+    module, params = init_neural_df(
+        size_latent=L, layer_sizes=(32, 32, 32, 32), embed="pos", act="sin", w0=2.0, seed=1
+    )
+    fused = make_fused_sdf(module, params, tile=8, interpret=True, dtype="mixed")
+    oracle = reference_value_and_grad(module, params)
+    rng = np.random.default_rng(6)
+    B = 21
+    pos = jnp.asarray(rng.normal(size=(B, 3)).astype(np.float32))
+    latent = jnp.asarray(rng.normal(size=(B, L)).astype(np.float32) * 0.3)
+    df_f, gr_f = fused(pos, latent)
+    df_o, gr_o = oracle(pos, latent)
+    np.testing.assert_allclose(np.asarray(df_f), np.asarray(df_o), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gr_f), np.asarray(gr_o), atol=8e-2)
+
+
+def test_fused_f32x3_close_to_f32():
+    """bf16x3 emulation (3 MXU passes) tracks the exact-f32 oracle to ~1e-5."""
+    L = 16
+    module, params = init_neural_df(
+        size_latent=L, layer_sizes=(32, 32, 32, 32), embed="pos", act="sin", w0=2.0, seed=1
+    )
+    fused = make_fused_sdf(module, params, tile=8, interpret=True, dtype="f32x3")
+    oracle = reference_value_and_grad(module, params)
+    rng = np.random.default_rng(8)
+    B = 21
+    pos = jnp.asarray(rng.normal(size=(B, 3)).astype(np.float32))
+    latent = jnp.asarray(rng.normal(size=(B, L)).astype(np.float32) * 0.3)
+    df_f, gr_f = fused(pos, latent)
+    df_o, gr_o = oracle(pos, latent)
+    np.testing.assert_allclose(np.asarray(df_f), np.asarray(df_o), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(gr_f), np.asarray(gr_o), atol=5e-3)
