@@ -43,7 +43,7 @@ from .qp_kernels import (
     LANES,
     _chol_lanes_blocked,
     _round_up,
-    _tri_solve_lanes,
+    _tri_solve_lanes_blocked,
     _wood_correct,
 )
 
@@ -87,7 +87,7 @@ def _ip_iter_kernel(
     # scratch
     A_scr, X_scr, Cs_scr, Xs_scr, Lt_scr,
     *,
-    nz, nc, k_s, ratio_cap, mu_min, p_floor, d_floor, tau,
+    nz, nc, k_s, ratio_cap, mu_min, p_floor, d_floor, tau, ablate="",
 ):
     f32 = np.float32  # np scalars embed as Mosaic literals
     eps = f32(jnp.finfo(jnp.float32).eps)
@@ -201,9 +201,11 @@ def _ip_iter_kernel(
     # for the masked full-width rank-1 updates.
     P = C * eta_mild[:, None, :]  # (nc, nz, L)
     for j in range(nz):
-        low = H_ref[j:, j, :] + jnp.sum(
-            P[:, j:, :] * C[:, j, :][:, None, :], axis=0
-        )  # (nz - j, L): rows j..nz-1 of column j
+        low = H_ref[j:, j, :]
+        if "noA" not in ablate:  # timing-ablation hook (scripts/bench_ip_kernel.py)
+            low = low + jnp.sum(
+                P[:, j:, :] * C[:, j, :][:, None, :], axis=0
+            )  # (nz - j, L): rows j..nz-1 of column j
         diag = low[0, :] + rb[j, :]
         diag = diag + 10 * eps * (jnp.abs(diag) + 1.0)
         if j < nz - 1:  # Mosaic rejects zero-size slices at the last column
@@ -249,11 +251,15 @@ def _ip_iter_kernel(
     rhs_aff = _rhs_of(*aff_t)
 
     # ---- factor + predictor solve (+ Woodbury set) ----
-    _chol_lanes_blocked(A_scr, nz)
+    if "nochol" not in ablate:
+        _chol_lanes_blocked(A_scr, nz)
     X_scr[0, :, :] = rhs_aff  # borrow X as the rhs staging buffer
-    _tri_solve_lanes(A_scr, X_scr, X_scr, nz)
+    if "nosolve" not in ablate:
+        _tri_solve_lanes_blocked(A_scr, X_scr, nz)
     if k_s > 0:
-        _tri_solve_lanes(A_scr, Cs_scr, Xs_scr, nz)
+        Xs_scr[...] = Cs_scr[...]
+        if "nosolve" not in ablate:
+            _tri_solve_lanes_blocked(A_scr, Xs_scr, nz)
         Xs = Xs_scr[...]
         Cs = Cs_scr[...]
         for i in range(k_s):
@@ -268,7 +274,9 @@ def _ip_iter_kernel(
 
         def _solve(rhs):
             X_scr[0, :, :] = rhs
-            _tri_solve_lanes(A_scr, X_scr, X_scr, nz)
+            if "nosolve" in ablate:
+                return X_scr[0, :, :]
+            _tri_solve_lanes_blocked(A_scr, X_scr, nz)
             return _wood_correct(
                 Lt_scr[...], Cs, Xs, X_scr[...], nz, k_s, 1
             )[0]
@@ -280,7 +288,8 @@ def _ip_iter_kernel(
 
         def _solve(rhs):
             X_scr[0, :, :] = rhs
-            _tri_solve_lanes(A_scr, X_scr, X_scr, nz)
+            if "nosolve" not in ablate:
+                _tri_solve_lanes_blocked(A_scr, X_scr, nz)
             return X_scr[0, :, :]
 
         adz_raw = X_scr[0, :, :]
@@ -384,7 +393,8 @@ def _ip_iter_kernel(
     )[None, :]
 
 
-def ip_iter_lanes(data, state, gate, k_s: int, consts, interpret: bool = False):
+def ip_iter_lanes(data, state, gate, k_s: int, consts, interpret: bool = False,
+                  ablate: str = ""):
     """One fused IP iteration over a lanes-layout batch.
 
     data: (H (nz,nz,B), C (nc,nz,B), g, lb, ub (nz,B), c0, lh, uh, z1, z2
@@ -422,6 +432,7 @@ def ip_iter_lanes(data, state, gate, k_s: int, consts, interpret: bool = False):
         p_floor=consts["p_floor"],
         d_floor=consts["d_floor"],
         tau=consts["tau"],
+        ablate=ablate,
     )
     ks_pad = max(k_eff, 8)
     out = pl.pallas_call(

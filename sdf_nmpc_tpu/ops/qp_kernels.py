@@ -135,6 +135,57 @@ def _tri_solve_lanes(M_scr, b_ref, x_ref, n: int):
     jax.lax.fori_loop(0, n, bwd_step, 0, unroll=False)
 
 
+def _tri_solve_lanes_blocked(M_scr, x_ref, n: int, b: int = 8):
+    """L L^T X = B in place; x_ref must INITIALLY HOLD B ((r, n, LANES)).
+
+    Statically-blocked variant of _tri_solve_lanes: the fori form's per-step
+    middle-axis reads (x_ref[:, j, :] with traced j) relayout on every one
+    of the 2n steps — measured ~6.6 ms/iteration for the stiff 9-RHS pass
+    (scripts/bench_ip_kernel.py).  Here the sequential recursion runs only
+    inside 8-column diagonal blocks, and cross-block dependencies are
+    applied as bulk panel updates over 8-aligned static slices.
+    """
+    assert n % b == 0, (n, b)
+    # forward: y = L^{-1} b
+    for kb in range(0, n, b):
+        for jj in range(b):
+            j = kb + jj
+            acc = 0.0
+            if jj:
+                acc = jnp.sum(
+                    M_scr[j, kb:j, :][None] * x_ref[:, kb:j, :], axis=1
+                )
+            x_ref[:, j, :] = (x_ref[:, j, :] - acc) / M_scr[j, j, :][None]
+        if kb + b < n:
+            upd = 0.0
+            for jj in range(b):
+                upd = upd + (
+                    M_scr[kb + b :, kb + jj, :][None]
+                    * x_ref[:, kb + jj, :][:, None, :]
+                )
+            x_ref[:, kb + b :, :] = x_ref[:, kb + b :, :] - upd
+    # backward: x = L^{-T} y
+    for kb in reversed(range(0, n, b)):
+        for jj in reversed(range(b)):
+            j = kb + jj
+            acc = 0.0
+            if jj < b - 1:
+                acc = jnp.sum(
+                    M_scr[j + 1 : kb + b, j, :][None]
+                    * x_ref[:, j + 1 : kb + b, :],
+                    axis=1,
+                )
+            x_ref[:, j, :] = (x_ref[:, j, :] - acc) / M_scr[j, j, :][None]
+        if kb > 0:
+            upd = 0.0
+            for jj in range(b):
+                k = kb + jj
+                upd = upd + (
+                    M_scr[k, :kb, :][None] * x_ref[:, k, :][:, None, :]
+                )
+            x_ref[:, :kb, :] = x_ref[:, :kb, :] - upd
+
+
 def factor_solve_lanes(M_bl, RHS_bl, interpret: bool = False):
     """Solve M x = b for a batch of SPD systems in lanes layout.
 
@@ -153,7 +204,8 @@ def _factor_solve_L_kernel(M_ref, B_ref, X_ref, L_ref, *, n: int, r: int):
     # factorization runs in place — halves the kernel's VMEM block footprint
     L_ref[:, :, :] = M_ref[:, :, :]
     _chol_lanes_blocked(L_ref, n)
-    _tri_solve_lanes(L_ref, B_ref, X_ref, n)
+    X_ref[:, :, :] = B_ref[:, :, :]
+    _tri_solve_lanes_blocked(L_ref, X_ref, n)
 
 
 def factor_solve_lanes_with_L(M_bl, RHS_bl, interpret: bool = False):
@@ -189,7 +241,8 @@ def factor_solve_lanes_with_L(M_bl, RHS_bl, interpret: bool = False):
 
 def _solve_only_kernel(L_ref, B_ref, X_ref, *, n: int, r: int):
     del r
-    _tri_solve_lanes(L_ref, B_ref, X_ref, n)
+    X_ref[:, :, :] = B_ref[:, :, :]
+    _tri_solve_lanes_blocked(L_ref, X_ref, n)
 
 
 def solve_lanes(L_bl, RHS_bl, interpret: bool = False):
@@ -262,9 +315,11 @@ def _stiff_factor_solve_kernel(
     L_ref[:, :, :] = A_ref[:, :, :]
     _chol_lanes_blocked(L_ref, n)
     # solve the r Newton rhs rows
-    _tri_solve_lanes(L_ref, B_ref, X_ref, n)
+    X_ref[:, :, :] = B_ref[:, :, :]
+    _tri_solve_lanes_blocked(L_ref, X_ref, n)
     # solve the k Woodbury columns
-    _tri_solve_lanes(L_ref, Cs_ref, Xs_ref, n)
+    Xs_ref[:, :, :] = Cs_ref[:, :, :]
+    _tri_solve_lanes_blocked(L_ref, Xs_ref, n)
     Xs = Xs_ref[:, :, :]
     Cs = Cs_ref[:, :, :]
     # T = Cs @ Xs' + diag(ds_inv), factored in place in Lt_ref
@@ -281,7 +336,8 @@ def _stiff_factor_solve_kernel(
 
 
 def _stiff_resolve_kernel(L_ref, Cs_ref, Xs_ref, Lt_ref, B_ref, X_ref, *, n, k, r):
-    _tri_solve_lanes(L_ref, B_ref, X_ref, n)
+    X_ref[:, :, :] = B_ref[:, :, :]
+    _tri_solve_lanes_blocked(L_ref, X_ref, n)
     X_ref[:, :, :] = _wood_correct(
         Lt_ref[:, :, :], Cs_ref[:, :, :], Xs_ref[:, :, :], X_ref[:, :, :], n, k, r
     )
