@@ -108,6 +108,10 @@ class OcpSpec:
     sdf_row_batch: Optional[Callable] = None
     h_stage_cheap: Optional[Callable] = None
     cheap_stage_indices: tuple = ()
+    # the cheap rows depend only on x[:3] and p (true for the FoV rows; any
+    # caller extension rows clear it) -> the solver differentiates them with
+    # 3 position tangents instead of nx+nu
+    cheap_rows_pos_only: bool = False
 
     @property
     def nx(self):
@@ -460,8 +464,13 @@ def build_ocp(
             i for i in range(len(h_rows_stage)) if i != sdf_stage_idx
         )
         h_stage_cheap = _compose_h(cheap_rows, with_u=True)
+        # without caller extensions the cheap rows are exactly the FoV rows,
+        # which read only the position block of x (and no u)
+        cheap_pos_only = len(extra_const_stage) == 0
+        del cheap_rows
     else:
         sdf_stage_idx = None
+        cheap_pos_only = False
 
     return OcpSpec(
         model=model,
@@ -492,6 +501,9 @@ def build_ocp(
         sdf_row_batch=sdf_row_batch,
         h_stage_cheap=h_stage_cheap,
         cheap_stage_indices=cheap_stage_indices,
+        cheap_rows_pos_only=(
+            h_stage_cheap is not None and cheap_pos_only
+        ),
         lbu=model.lbu,
         ubu=model.ubu,
         u_hover=model.u_hover,

@@ -195,6 +195,17 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True):
 
     def h_node(x, u, p):
         """Cheap (non-sdf) constraint rows + Jacobians for one node."""
+        if cheap_h is not None and ocp.cheap_rows_pos_only:
+            # the FoV rows read only x[:3] (and no u): 3 forward tangents
+            # instead of nx+nu (or n_cheap reverse sweeps)
+            h_val = cheap_h(x, u, p)
+            h3 = lambda x3: cheap_h(jnp.concatenate([x3, x[3:]]), u, p)
+            Jh3 = jax.jacfwd(h3)(x[:3])
+            Jhx = jnp.zeros((h_val.shape[0], nx), dtype).at[:, :3].set(
+                jnp.asarray(Jh3, dtype)
+            )
+            Jhu = jnp.zeros((h_val.shape[0], nu), dtype)
+            return (jnp.asarray(h_val, dtype), Jhx, Jhu)
         if cheap_h is not None:
             h_fn = lambda xv, uv: cheap_h(xv, uv, p)
             h_val = h_fn(x, u)
