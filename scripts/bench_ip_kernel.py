@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Piece-ablation of the fused IP iteration kernel at production shapes.
 
-Times a jitted 20-iteration scan of ip_iter_lanes on synthetic (but
+Times a 20-iteration fused phase (ip_phase_lanes) on synthetic (but
 production-shaped and SPD) data, with kernel sections disabled via the
 `ablate` debug flag — the per-piece difference attributes the in-kernel
 VPU time (the kernel is compute-bound, docs/performance.md).
@@ -25,7 +25,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from sdf_nmpc_tpu.ops.ip_kernel import ip_iter_lanes
+    from sdf_nmpc_tpu.ops.ip_kernel import ip_phase_lanes
 
     rng = np.random.default_rng(0)
     M = rng.normal(size=(NZ, NZ)).astype(np.float32)
@@ -54,14 +54,8 @@ def main():
 
     def run(tag, k_s, ablate):
         def loop(data_, state):
-            def body(st, it):
-                gate = jnp.full((1, B), it, jnp.float32)
-                return ip_iter_lanes(data_, st, gate, k_s, consts,
-                                     ablate=ablate), None
-
-            st, _ = jax.lax.scan(body, state,
-                                 jnp.arange(ITERS, dtype=jnp.float32))
-            return st
+            return ip_phase_lanes(data_, state, k_s, ITERS, 0, consts,
+                                  ablate=ablate)
 
         fn = jax.jit(loop)
         out = fn(data, state0)

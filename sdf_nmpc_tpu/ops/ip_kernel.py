@@ -75,10 +75,9 @@ def _max_step(v, dv):
     return jnp.min(ratio, axis=0)
 
 
-def _ip_iter_kernel(
+def _ip_phase_kernel(
     # problem data
     H_ref, C_ref, g_ref, c0_ref, lh_ref, uh_ref, z1_ref, z2_ref, lb_ref, ub_ref,
-    gate_ref,
     # state in
     dz_ref, sl_ref, su_ref, ll_ref, lu_ref, gl_ref, gu_ref, nl_ref, nu_ref,
     mu_ref, bdz_ref, bm_ref,
@@ -87,7 +86,8 @@ def _ip_iter_kernel(
     # scratch
     A_scr, X_scr, Cs_scr, Xs_scr, Lt_scr,
     *,
-    nz, nc, k_s, ratio_cap, mu_min, p_floor, d_floor, tau, ablate="",
+    nz, nc, k_s, n_iters, it0, ratio_cap, mu_min, p_floor, d_floor, tau,
+    ablate="",
 ):
     f32 = np.float32  # np scalars embed as Mosaic literals
     eps = f32(jnp.finfo(jnp.float32).eps)
@@ -103,304 +103,323 @@ def _ip_iter_kernel(
     lb = lb_ref[...]
     ub = ub_ref[...]
 
-    dz = dz_ref[...]
-    sl = sl_ref[...]
-    su = su_ref[...]
-    lam_l = ll_ref[...]
-    lam_u = lu_ref[...]
-    gam_l = gl_ref[...]
-    gam_u = gu_ref[...]
-    nu_l = nl_ref[...]
-    nu_u = nu_ref[...]
+    # the iteration loop runs on the OUT refs (state copied once); the whole
+    # n_iters-iteration phase is one kernel launch — H/C are read from HBM
+    # once per PHASE instead of once per iteration, and the XLA-level scan
+    # (one launch + a ~30 MB state round trip per iteration) disappears
+    for src, dst in (
+        (dz_ref, dz_o), (sl_ref, sl_o), (su_ref, su_o), (ll_ref, ll_o),
+        (lu_ref, lu_o), (gl_ref, gl_o), (gu_ref, gu_o), (nl_ref, nl_o),
+        (nu_ref, nu_o), (mu_ref, mu_o), (bdz_ref, bdz_o), (bm_ref, bm_o),
+    ):
+        dst[...] = src[...]
 
-    # ---- gaps with cancellation-noise floors (solver/qp.py body) ----
-    w = c0 + _mv(C, dz)
-    tl = jnp.maximum(w + sl - lh, 4 * eps * (1.0 + jnp.abs(w) + sl))
-    tu = jnp.maximum(uh + su - w, 4 * eps * (1.0 + jnp.abs(w) + su))
-    bl = jnp.maximum(dz - lb, 4 * eps * (1.0 + jnp.abs(dz)))
-    bu = jnp.maximum(ub - dz, 4 * eps * (1.0 + jnp.abs(dz)))
+    def _body(i, _):
+     dz = dz_o[...]
+     sl = sl_o[...]
+     su = su_o[...]
+     lam_l = ll_o[...]
+     lam_u = lu_o[...]
+     gam_l = gl_o[...]
+     gam_u = gu_o[...]
+     nu_l = nl_o[...]
+     nu_u = nu_o[...]
 
-    # ---- KKT stationarity residuals ----
-    Hdz = _mv(H_ref[...], dz)
-    r_z = Hdz + g - _mtv(C, lam_l - lam_u) - nu_l + nu_u
-    r_sl = z1 + z2 * sl - lam_l - gam_l
-    r_su = z1 + z2 * su - lam_u - gam_u
+     # ---- gaps with cancellation-noise floors (solver/qp.py body) ----
+     w = c0 + _mv(C, dz)
+     tl = jnp.maximum(w + sl - lh, 4 * eps * (1.0 + jnp.abs(w) + sl))
+     tu = jnp.maximum(uh + su - w, 4 * eps * (1.0 + jnp.abs(w) + su))
+     bl = jnp.maximum(dz - lb, 4 * eps * (1.0 + jnp.abs(dz)))
+     bu = jnp.maximum(ub - dz, 4 * eps * (1.0 + jnp.abs(dz)))
 
-    # ---- best-iterate merit at entry (gate excludes the zero step) ----
-    vl = jnp.maximum(lh - w, 0.0)
-    vu = jnp.maximum(w - uh, 0.0)
-    m_cur = (
-        0.5 * _dot(dz, Hdz)
-        + _dot(g, dz)
-        + jnp.sum(z1 * (vl + vu) + 0.5 * z2 * (vl * vl + vu * vu), axis=0)
-    )
-    better = (m_cur < bm_ref[0, :]) & (gate_ref[0, :] > 0)
-    bdz_o[...] = jnp.where(better[None, :], dz, bdz_ref[...])
-    bm_o[...] = jnp.where(better, m_cur, bm_ref[0, :])[None, :]
+     # ---- KKT stationarity residuals ----
+     Hdz = _mv(H_ref[...], dz)
+     r_z = Hdz + g - _mtv(C, lam_l - lam_u) - nu_l + nu_u
+     r_sl = z1 + z2 * sl - lam_l - gam_l
+     r_su = z1 + z2 * su - lam_u - gam_u
 
-    # ---- barrier ratios + stiff-row split (see solver/qp.py for the math) --
-    ql_raw = lam_l / tl
-    qu_raw = lam_u / tu
-    pl_raw = gam_l / sl
-    pu_raw = gam_u / su
+     # ---- best-iterate merit at entry (gate excludes the zero step) ----
+     vl = jnp.maximum(lh - w, 0.0)
+     vu = jnp.maximum(w - uh, 0.0)
+     m_cur = (
+         0.5 * _dot(dz, Hdz)
+         + _dot(g, dz)
+         + jnp.sum(z1 * (vl + vu) + 0.5 * z2 * (vl * vl + vu * vu), axis=0)
+     )
+     better = (m_cur < bm_o[0, :]) & ((it0 + i) > 0)
+     bdz_o[...] = jnp.where(better[None, :], dz, bdz_o[...])
+     bm_o[...] = jnp.where(better, m_cur, bm_o[0, :])[None, :]
 
-    if k_s > 0:
-        # top-k_s selection on the RAW eta (matches jax.lax.top_k's ordering
-        # incl. first-index tie-breaking) via k_s argmax-and-mask passes;
-        # the onehots are kept to gather the exact stiff coefficients from
-        # the capped eta afterwards
-        d_l0 = z2 + ql_raw + pl_raw
-        d_u0 = z2 + qu_raw + pu_raw
-        eta_raw = ql_raw * (z2 + pl_raw) / d_l0 + qu_raw * (z2 + pu_raw) / d_u0
-        iota_c = jax.lax.broadcasted_iota(jnp.int32, (nc, LANES), 0)
-        masked = eta_raw
-        stiff = jnp.zeros((nc, LANES), jnp.bool_)
-        onehots = []
-        for i in range(k_s):
-            idx = jnp.argmax(masked, axis=0)  # (L,)
-            onehot = iota_c == idx[None, :]
-            onehots.append(onehot)
-            stiff = stiff | onehot
-            masked = jnp.where(onehot, -_INF, masked)
-            Cs_scr[i, :, :] = jnp.sum(
-                jnp.where(onehot[:, None, :], C, 0.0), axis=0
-            )
-        cap = jnp.where(stiff, _INF, f32(ratio_cap))
-    else:
-        cap = f32(ratio_cap)
+     # ---- barrier ratios + stiff-row split (see solver/qp.py for the math) --
+     ql_raw = lam_l / tl
+     qu_raw = lam_u / tu
+     pl_raw = gam_l / sl
+     pu_raw = gam_u / su
 
-    ql = jnp.minimum(ql_raw, cap)
-    qu = jnp.minimum(qu_raw, cap)
-    pl_ = jnp.minimum(pl_raw, cap)
-    pu_ = jnp.minimum(pu_raw, cap)
-    d_l = z2 + ql + pl_
-    d_u = z2 + qu + pu_
-    eta_l = ql * (z2 + pl_) / d_l
-    eta_u = qu * (z2 + pu_) / d_u
-    eta = eta_l + eta_u
-    rbl = nu_l / bl
-    rbu = nu_u / bu
-    rb = rbl + rbu
+     if k_s > 0:
+         # top-k_s selection on the RAW eta (matches jax.lax.top_k's ordering
+         # incl. first-index tie-breaking) via k_s argmax-and-mask passes;
+         # the onehots are kept to gather the exact stiff coefficients from
+         # the capped eta afterwards
+         d_l0 = z2 + ql_raw + pl_raw
+         d_u0 = z2 + qu_raw + pu_raw
+         eta_raw = ql_raw * (z2 + pl_raw) / d_l0 + qu_raw * (z2 + pu_raw) / d_u0
+         iota_c = jax.lax.broadcasted_iota(jnp.int32, (nc, LANES), 0)
+         masked = eta_raw
+         stiff = jnp.zeros((nc, LANES), jnp.bool_)
+         onehots = []
+         for i in range(k_s):
+             idx = jnp.argmax(masked, axis=0)  # (L,)
+             onehot = iota_c == idx[None, :]
+             onehots.append(onehot)
+             stiff = stiff | onehot
+             masked = jnp.where(onehot, -_INF, masked)
+             Cs_scr[i, :, :] = jnp.sum(
+                 jnp.where(onehot[:, None, :], C, 0.0), axis=0
+             )
+         cap = jnp.where(stiff, _INF, f32(ratio_cap))
+     else:
+         cap = f32(ratio_cap)
 
-    if k_s > 0:
-        # exact (uncapped — stiff rows see an inf cap) coefficients of the
-        # selected rows, and zero them out of the factored matrix; mild rows
-        # keep the capped eta as a consistent backstop
-        d_s_rows = [
-            jnp.sum(jnp.where(oh, eta, 0.0), axis=0) for oh in onehots
-        ]
-        eta_mild = jnp.where(stiff, 0.0, eta)
-    else:
-        eta_mild = eta
+     ql = jnp.minimum(ql_raw, cap)
+     qu = jnp.minimum(qu_raw, cap)
+     pl_ = jnp.minimum(pl_raw, cap)
+     pu_ = jnp.minimum(pu_raw, cap)
+     d_l = z2 + ql + pl_
+     d_u = z2 + qu + pu_
+     eta_l = ql * (z2 + pl_) / d_l
+     eta_u = qu * (z2 + pu_) / d_u
+     eta = eta_l + eta_u
+     rbl = nu_l / bl
+     rbu = nu_u / bu
+     rb = rbl + rbu
 
-    # ---- Newton matrix A = H + C' diag(eta_mild) C + diag(rb) + jitter ----
-    # Lower triangle only: _chol_lanes/_tri_solve_lanes never read the upper
-    # (column reads are masked to rows >= j, row reads to k <= j), and the
-    # contraction over nc is the kernel's single largest FLOP block — the
-    # triangular build halves it.  The mirror write keeps the scratch clean
-    # for the masked full-width rank-1 updates.
-    P = C * eta_mild[:, None, :]  # (nc, nz, L)
-    for j in range(nz):
-        low = H_ref[j:, j, :]
-        if "noA" not in ablate:  # timing-ablation hook (scripts/bench_ip_kernel.py)
-            low = low + jnp.sum(
-                P[:, j:, :] * C[:, j, :][:, None, :], axis=0
-            )  # (nz - j, L): rows j..nz-1 of column j
-        diag = low[0, :] + rb[j, :]
-        diag = diag + 10 * eps * (jnp.abs(diag) + 1.0)
-        if j < nz - 1:  # Mosaic rejects zero-size slices at the last column
-            body = jnp.concatenate([diag[None, :], low[1:, :]], axis=0)
-        else:
-            body = diag[None, :]
-        A_scr[j:, j, :] = body
-        A_scr[j, j:, :] = body  # symmetric mirror
+     if k_s > 0:
+         # exact (uncapped — stiff rows see an inf cap) coefficients of the
+         # selected rows, and zero them out of the factored matrix; mild rows
+         # keep the capped eta as a consistent backstop
+         d_s_rows = [
+             jnp.sum(jnp.where(oh, eta, 0.0), axis=0) for oh in onehots
+         ]
+         eta_mild = jnp.where(stiff, 0.0, eta)
+     else:
+         eta_mild = eta
 
-    # ---- predictor rhs (targets = 0) ----
-    def _coeffs(m_tl, m_tu, m_sl, m_su):
-        a_l = m_tl / tl - lam_l
-        a_u = m_tu / tu - lam_u
-        b_l = -r_sl + a_l + m_sl / sl - gam_l
-        b_u = -r_su + a_u + m_su / su - gam_u
-        return a_l, a_u, b_l, b_u
+     # ---- Newton matrix A = H + C' diag(eta_mild) C + diag(rb) + jitter ----
+     # Lower triangle only: _chol_lanes/_tri_solve_lanes never read the upper
+     # (column reads are masked to rows >= j, row reads to k <= j), and the
+     # contraction over nc is the kernel's single largest FLOP block — the
+     # triangular build halves it.  The mirror write keeps the scratch clean
+     # for the masked full-width rank-1 updates.
+     P = C * eta_mild[:, None, :]  # (nc, nz, L)
+     for j in range(nz):
+         low = H_ref[j:, j, :]
+         if "noA" not in ablate:  # timing-ablation hook (scripts/bench_ip_kernel.py)
+             low = low + jnp.sum(
+                 P[:, j:, :] * C[:, j, :][:, None, :], axis=0
+             )  # (nz - j, L): rows j..nz-1 of column j
+         diag = low[0, :] + rb[j, :]
+         diag = diag + 10 * eps * (jnp.abs(diag) + 1.0)
+         if j < nz - 1:  # Mosaic rejects zero-size slices at the last column
+             body = jnp.concatenate([diag[None, :], low[1:, :]], axis=0)
+         else:
+             body = diag[None, :]
+         A_scr[j:, j, :] = body
+         A_scr[j, j:, :] = body  # symmetric mirror
 
-    def _rhs_of(m_tl, m_tu, m_sl, m_su, m_bl, m_bu):
-        a_l, a_u, b_l, b_u = _coeffs(m_tl, m_tu, m_sl, m_su)
-        const_l = a_l - ql * b_l / d_l
-        const_u = a_u - qu * b_u / d_u
-        return (
-            -r_z + _mtv(C, const_l - const_u) + (m_bl / bl - nu_l)
-            - (m_bu / bu - nu_u)
-        )
+     # ---- predictor rhs (targets = 0) ----
+     def _coeffs(m_tl, m_tu, m_sl, m_su):
+         a_l = m_tl / tl - lam_l
+         a_u = m_tu / tu - lam_u
+         b_l = -r_sl + a_l + m_sl / sl - gam_l
+         b_u = -r_su + a_u + m_su / su - gam_u
+         return a_l, a_u, b_l, b_u
 
-    def _recover(ddz, m_tl, m_tu, m_sl, m_su, m_bl, m_bu):
-        a_l, a_u, b_l, b_u = _coeffs(m_tl, m_tu, m_sl, m_su)
-        dw = _mv(C, ddz)
-        dsl = (b_l - ql * dw) / d_l
-        dsu = (b_u + qu * dw) / d_u
-        dlam_l = a_l - ql * (dw + dsl)
-        dlam_u = a_u - qu * (dsu - dw)
-        dgam_l = (m_sl - gam_l * sl) / sl - pl_ * dsl
-        dgam_u = (m_su - gam_u * su) / su - pu_ * dsu
-        dnu_l = (m_bl - nu_l * bl) / bl - rbl * ddz
-        dnu_u = (m_bu - nu_u * bu) / bu + rbu * ddz
-        return ddz, dw, dsl, dsu, dlam_l, dlam_u, dgam_l, dgam_u, dnu_l, dnu_u
+     def _rhs_of(m_tl, m_tu, m_sl, m_su, m_bl, m_bu):
+         a_l, a_u, b_l, b_u = _coeffs(m_tl, m_tu, m_sl, m_su)
+         const_l = a_l - ql * b_l / d_l
+         const_u = a_u - qu * b_u / d_u
+         return (
+             -r_z + _mtv(C, const_l - const_u) + (m_bl / bl - nu_l)
+             - (m_bu / bu - nu_u)
+         )
 
-    zc = jnp.zeros((nc, LANES), f32)
-    zz = jnp.zeros((nz, LANES), f32)
-    aff_t = (zc, zc, zc, zc, zz, zz)
-    rhs_aff = _rhs_of(*aff_t)
+     def _recover(ddz, m_tl, m_tu, m_sl, m_su, m_bl, m_bu):
+         a_l, a_u, b_l, b_u = _coeffs(m_tl, m_tu, m_sl, m_su)
+         dw = _mv(C, ddz)
+         dsl = (b_l - ql * dw) / d_l
+         dsu = (b_u + qu * dw) / d_u
+         dlam_l = a_l - ql * (dw + dsl)
+         dlam_u = a_u - qu * (dsu - dw)
+         dgam_l = (m_sl - gam_l * sl) / sl - pl_ * dsl
+         dgam_u = (m_su - gam_u * su) / su - pu_ * dsu
+         dnu_l = (m_bl - nu_l * bl) / bl - rbl * ddz
+         dnu_u = (m_bu - nu_u * bu) / bu + rbu * ddz
+         return ddz, dw, dsl, dsu, dlam_l, dlam_u, dgam_l, dgam_u, dnu_l, dnu_u
 
-    # ---- factor + predictor solve (+ Woodbury set) ----
-    if "nochol" not in ablate:
-        _chol_lanes_blocked(A_scr, nz)
-    X_scr[0, :, :] = rhs_aff  # borrow X as the rhs staging buffer
-    if "nosolve" not in ablate:
-        _tri_solve_lanes_blocked(A_scr, X_scr, nz)
-    if k_s > 0:
-        Xs_scr[...] = Cs_scr[...]
-        if "nosolve" not in ablate:
-            _tri_solve_lanes_blocked(A_scr, Xs_scr, nz)
-        Xs = Xs_scr[...]
-        Cs = Cs_scr[...]
-        for i in range(k_s):
-            Lt_scr[i, :, :] = jnp.sum(Cs[i][None] * Xs, axis=1)
-        for i in range(k_s):
-            d_s_inv = jnp.minimum(
-                1.0 / jnp.maximum(d_s_rows[i], 1e-30), 1e30
-            )
-            d = Lt_scr[i, i, :] + d_s_inv
-            Lt_scr[i, i, :] = d + 10 * eps * (jnp.abs(d) + 1e-30)
-        _chol_lanes_blocked(Lt_scr, k_s)
+     zc = jnp.zeros((nc, LANES), f32)
+     zz = jnp.zeros((nz, LANES), f32)
+     aff_t = (zc, zc, zc, zc, zz, zz)
+     rhs_aff = _rhs_of(*aff_t)
 
-        def _solve(rhs):
-            X_scr[0, :, :] = rhs
-            if "nosolve" in ablate:
-                return X_scr[0, :, :]
-            _tri_solve_lanes_blocked(A_scr, X_scr, nz)
-            return _wood_correct(
-                Lt_scr[...], Cs, Xs, X_scr[...], nz, k_s, 1
-            )[0]
+     # ---- factor + predictor solve (+ Woodbury set) ----
+     if "nochol" not in ablate:
+         _chol_lanes_blocked(A_scr, nz)
+     X_scr[0, :, :] = rhs_aff  # borrow X as the rhs staging buffer
+     if "nosolve" not in ablate:
+         _tri_solve_lanes_blocked(A_scr, X_scr, nz)
+     if k_s > 0:
+         Xs_scr[...] = Cs_scr[...]
+         if "nosolve" not in ablate:
+             _tri_solve_lanes_blocked(A_scr, Xs_scr, nz)
+         Xs = Xs_scr[...]
+         Cs = Cs_scr[...]
+         for i in range(k_s):
+             Lt_scr[i, :, :] = jnp.sum(Cs[i][None] * Xs, axis=1)
+         for i in range(k_s):
+             d_s_inv = jnp.minimum(
+                 1.0 / jnp.maximum(d_s_rows[i], 1e-30), 1e30
+             )
+             d = Lt_scr[i, i, :] + d_s_inv
+             Lt_scr[i, i, :] = d + 10 * eps * (jnp.abs(d) + 1e-30)
+         _chol_lanes_blocked(Lt_scr, k_s)
 
-        adz_raw = _wood_correct(
-            Lt_scr[...], Cs, Xs, X_scr[...], nz, k_s, 1
-        )[0]
-    else:
+         def _solve(rhs):
+             X_scr[0, :, :] = rhs
+             if "nosolve" in ablate:
+                 return X_scr[0, :, :]
+             _tri_solve_lanes_blocked(A_scr, X_scr, nz)
+             return _wood_correct(
+                 Lt_scr[...], Cs, Xs, X_scr[...], nz, k_s, 1
+             )[0]
 
-        def _solve(rhs):
-            X_scr[0, :, :] = rhs
-            if "nosolve" not in ablate:
-                _tri_solve_lanes_blocked(A_scr, X_scr, nz)
-            return X_scr[0, :, :]
+         adz_raw = _wood_correct(
+             Lt_scr[...], Cs, Xs, X_scr[...], nz, k_s, 1
+         )[0]
+     else:
 
-        adz_raw = X_scr[0, :, :]
+         def _solve(rhs):
+             X_scr[0, :, :] = rhs
+             if "nosolve" not in ablate:
+                 _tri_solve_lanes_blocked(A_scr, X_scr, nz)
+             return X_scr[0, :, :]
 
-    adz = jnp.where(
-        jnp.all(jnp.isfinite(adz_raw), axis=0)[None, :], adz_raw, 0.0
-    )
-    aff = _recover(adz, *aff_t)
+         adz_raw = X_scr[0, :, :]
 
-    def step_len(d, frac):
-        ddz, dw, dsl, dsu, dll, dlu, dgl, dgu, dnl, dnu = d
-        a = jnp.minimum(
-            jnp.minimum(
-                jnp.minimum(_max_step(sl, dsl), _max_step(su, dsu)),
-                jnp.minimum(_max_step(tl, dw + dsl), _max_step(tu, dsu - dw)),
-            ),
-            jnp.minimum(
-                jnp.minimum(
-                    jnp.minimum(_max_step(lam_l, dll), _max_step(lam_u, dlu)),
-                    jnp.minimum(_max_step(gam_l, dgl), _max_step(gam_u, dgu)),
-                ),
-                jnp.minimum(
-                    jnp.minimum(_max_step(nu_l, dnl), _max_step(nu_u, dnu)),
-                    jnp.minimum(_max_step(bl, ddz), _max_step(bu, -ddz)),
-                ),
-            ),
-        )
-        return jnp.minimum(1.0, frac * a)  # (L,)
+     adz = jnp.where(
+         jnp.all(jnp.isfinite(adz_raw), axis=0)[None, :], adz_raw, 0.0
+     )
+     aff = _recover(adz, *aff_t)
 
-    (adz, adw, adsl, adsu, adll, adlu, adgl, adgu, adnl, adnu) = aff
-    alpha_aff = step_len(aff, 1.0)[None, :]  # (1, L)
+     def step_len(d, frac):
+         ddz, dw, dsl, dsu, dll, dlu, dgl, dgu, dnl, dnu = d
+         a = jnp.minimum(
+             jnp.minimum(
+                 jnp.minimum(_max_step(sl, dsl), _max_step(su, dsu)),
+                 jnp.minimum(_max_step(tl, dw + dsl), _max_step(tu, dsu - dw)),
+             ),
+             jnp.minimum(
+                 jnp.minimum(
+                     jnp.minimum(_max_step(lam_l, dll), _max_step(lam_u, dlu)),
+                     jnp.minimum(_max_step(gam_l, dgl), _max_step(gam_u, dgu)),
+                 ),
+                 jnp.minimum(
+                     jnp.minimum(_max_step(nu_l, dnl), _max_step(nu_u, dnu)),
+                     jnp.minimum(_max_step(bl, ddz), _max_step(bu, -ddz)),
+                 ),
+             ),
+         )
+         return jnp.minimum(1.0, frac * a)  # (L,)
 
-    def _compl(w_, dz_, sl_, su_, ll_, lu_, gl_, gu_, nl_, nu_):
-        total = _dot(dz_ - lb, nl_) + _dot(ub - dz_, nu_)
-        total = total + (
-            _dot(w_ + sl_ - lh, ll_)
-            + _dot(uh + su_ - w_, lu_)
-            + _dot(sl_, gl_)
-            + _dot(su_, gu_)
-        )
-        return total / n_terms  # (L,)
+     (adz, adw, adsl, adsu, adll, adlu, adgl, adgu, adnl, adnu) = aff
+     alpha_aff = step_len(aff, 1.0)[None, :]  # (1, L)
 
-    mu_cur = _compl(w, dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u)
-    mu_aff = _compl(
-        w + alpha_aff * adw,
-        dz + alpha_aff * adz,
-        sl + alpha_aff * adsl,
-        su + alpha_aff * adsu,
-        lam_l + alpha_aff * adll,
-        lam_u + alpha_aff * adlu,
-        gam_l + alpha_aff * adgl,
-        gam_u + alpha_aff * adgu,
-        nu_l + alpha_aff * adnl,
-        nu_u + alpha_aff * adnu,
-    )
-    ratio = jnp.maximum(mu_aff, 0.0) / jnp.maximum(mu_cur, f32(d_floor))
-    sigma = jnp.clip(ratio * ratio * ratio, 1e-4, 1.0)
-    mu_t = jnp.maximum(sigma * mu_cur, f32(mu_min))[None, :]  # (1, L)
+     def _compl(w_, dz_, sl_, su_, ll_, lu_, gl_, gu_, nl_, nu_):
+         total = _dot(dz_ - lb, nl_) + _dot(ub - dz_, nu_)
+         total = total + (
+             _dot(w_ + sl_ - lh, ll_)
+             + _dot(uh + su_ - w_, lu_)
+             + _dot(sl_, gl_)
+             + _dot(su_, gu_)
+         )
+         return total / n_terms  # (L,)
 
-    # ---- corrector ----
-    corr_t = (
-        mu_t - adll * (adw + adsl),
-        mu_t - adlu * (adsu - adw),
-        mu_t - adgl * adsl,
-        mu_t - adgu * adsu,
-        mu_t - adnl * adz,
-        mu_t + adnu * adz,
-    )
-    rhs_c = _rhs_of(*corr_t)
-    ddz_raw = _solve(rhs_c)
-    ddz = jnp.where(
-        jnp.all(jnp.isfinite(ddz_raw), axis=0)[None, :], ddz_raw, 0.0
-    )
-    corr = _recover(ddz, *corr_t)
-    alpha = step_len(corr, f32(tau))[None, :]
-    (ddz, dw, dsl, dsu, dll, dlu, dgl, dgu, dnl, dnu) = corr
+     mu_cur = _compl(w, dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u)
+     mu_aff = _compl(
+         w + alpha_aff * adw,
+         dz + alpha_aff * adz,
+         sl + alpha_aff * adsl,
+         su + alpha_aff * adsu,
+         lam_l + alpha_aff * adll,
+         lam_u + alpha_aff * adlu,
+         gam_l + alpha_aff * adgl,
+         gam_u + alpha_aff * adgu,
+         nu_l + alpha_aff * adnl,
+         nu_u + alpha_aff * adnu,
+     )
+     ratio = jnp.maximum(mu_aff, 0.0) / jnp.maximum(mu_cur, f32(d_floor))
+     sigma = jnp.clip(ratio * ratio * ratio, 1e-4, 1.0)
+     mu_t = jnp.maximum(sigma * mu_cur, f32(mu_min))[None, :]  # (1, L)
 
-    dz_n = dz + alpha * ddz
-    sl_n = jnp.maximum(sl + alpha * dsl, f32(p_floor))
-    su_n = jnp.maximum(su + alpha * dsu, f32(p_floor))
-    ll_n = jnp.maximum(lam_l + alpha * dll, f32(d_floor))
-    lu_n = jnp.maximum(lam_u + alpha * dlu, f32(d_floor))
-    gl_n = jnp.maximum(gam_l + alpha * dgl, f32(d_floor))
-    gu_n = jnp.maximum(gam_u + alpha * dgu, f32(d_floor))
-    nl_n = jnp.maximum(nu_l + alpha * dnl, f32(d_floor))
-    nu_n = jnp.maximum(nu_u + alpha * dnu, f32(d_floor))
+     # ---- corrector ----
+     corr_t = (
+         mu_t - adll * (adw + adsl),
+         mu_t - adlu * (adsu - adw),
+         mu_t - adgl * adsl,
+         mu_t - adgu * adsu,
+         mu_t - adnl * adz,
+         mu_t + adnu * adz,
+     )
+     rhs_c = _rhs_of(*corr_t)
+     ddz_raw = _solve(rhs_c)
+     ddz = jnp.where(
+         jnp.all(jnp.isfinite(ddz_raw), axis=0)[None, :], ddz_raw, 0.0
+     )
+     corr = _recover(ddz, *corr_t)
+     alpha = step_len(corr, f32(tau))[None, :]
+     (ddz, dw, dsl, dsu, dll, dlu, dgl, dgu, dnl, dnu) = corr
 
-    dz_o[...] = dz_n
-    sl_o[...] = sl_n
-    su_o[...] = su_n
-    ll_o[...] = ll_n
-    lu_o[...] = lu_n
-    gl_o[...] = gl_n
-    gu_o[...] = gu_n
-    nl_o[...] = nl_n
-    nu_o[...] = nu_n
-    mu_o[...] = jnp.maximum(
-        _compl(w + alpha * dw, dz_n, sl_n, su_n, ll_n, lu_n, gl_n, gu_n,
-               nl_n, nu_n),
-        f32(mu_min),
-    )[None, :]
+     dz_n = dz + alpha * ddz
+     sl_n = jnp.maximum(sl + alpha * dsl, f32(p_floor))
+     su_n = jnp.maximum(su + alpha * dsu, f32(p_floor))
+     ll_n = jnp.maximum(lam_l + alpha * dll, f32(d_floor))
+     lu_n = jnp.maximum(lam_u + alpha * dlu, f32(d_floor))
+     gl_n = jnp.maximum(gam_l + alpha * dgl, f32(d_floor))
+     gu_n = jnp.maximum(gam_u + alpha * dgu, f32(d_floor))
+     nl_n = jnp.maximum(nu_l + alpha * dnl, f32(d_floor))
+     nu_n = jnp.maximum(nu_u + alpha * dnu, f32(d_floor))
+
+     dz_o[...] = dz_n
+     sl_o[...] = sl_n
+     su_o[...] = su_n
+     ll_o[...] = ll_n
+     lu_o[...] = lu_n
+     gl_o[...] = gl_n
+     gu_o[...] = gu_n
+     nl_o[...] = nl_n
+     nu_o[...] = nu_n
+     mu_o[...] = jnp.maximum(
+         _compl(w + alpha * dw, dz_n, sl_n, su_n, ll_n, lu_n, gl_n, gu_n,
+                nl_n, nu_n),
+         f32(mu_min),
+     )[None, :]
+
+     return 0
+
+    jax.lax.fori_loop(0, n_iters, _body, 0)
 
 
-def ip_iter_lanes(data, state, gate, k_s: int, consts, interpret: bool = False,
-                  ablate: str = ""):
-    """One fused IP iteration over a lanes-layout batch.
+def ip_phase_lanes(data, state, k_s: int, n_iters: int, it0: int, consts,
+                   interpret: bool = False, ablate: str = ""):
+    """One fused IP PHASE (n_iters Mehrotra iterations in a single kernel
+    launch) over a lanes-layout batch.
 
     data: (H (nz,nz,B), C (nc,nz,B), g, lb, ub (nz,B), c0, lh, uh, z1, z2
     (nc,B)); state: 12-tuple (dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l,
-    nu_u (vectors), mu, best_m (1,B), best_dz (nz,B)) in the order used by
-    solver/qp.py; gate (1,B).  Returns the updated state tuple.
+    nu_u (vectors), mu (1,B), best_dz (nz,B), best_m (1,B)) in the order
+    used by solver/qp.py; it0 = global index of the phase's first iteration
+    (the best-iterate gate excludes the zero-step initial point at index 0).
+    Returns the updated state tuple.
     """
     H, C, g, c0, lh, uh, z1, z2, lb, ub = data
     nz = H.shape[0]
@@ -423,10 +442,12 @@ def ip_iter_lanes(data, state, gate, k_s: int, consts, interpret: bool = False,
     ]
 
     kern = partial(
-        _ip_iter_kernel,
+        _ip_phase_kernel,
         nz=nz,
         nc=nc,
         k_s=k_eff,
+        n_iters=n_iters,
+        it0=it0,
         ratio_cap=consts["ratio_cap"],
         mu_min=consts["mu_min"],
         p_floor=consts["p_floor"],
@@ -439,7 +460,7 @@ def ip_iter_lanes(data, state, gate, k_s: int, consts, interpret: bool = False,
         kern,
         grid=grid,
         in_specs=[mat_z, mat_c, vec_z, vec_c, vec_c, vec_c, vec_c, vec_c,
-                  vec_z, vec_z, vec_1] + state_specs,
+                  vec_z, vec_z] + state_specs,
         out_specs=state_specs,
         out_shape=state_shapes,
         scratch_shapes=[
@@ -457,7 +478,6 @@ def ip_iter_lanes(data, state, gate, k_s: int, consts, interpret: bool = False,
         jnp.asarray(lh, jnp.float32), jnp.asarray(uh, jnp.float32),
         jnp.asarray(z1, jnp.float32), jnp.asarray(z2, jnp.float32),
         jnp.asarray(lb, jnp.float32), jnp.asarray(ub, jnp.float32),
-        jnp.asarray(gate, jnp.float32),
         *[jnp.asarray(s, jnp.float32) for s in state],
     )
     return tuple(out)
@@ -582,23 +602,14 @@ def make_fused_solve(
             jnp.full((1, Bp), jnp.inf, jnp.float32),  # best_m
         )
 
-        def phase(state, idxs, k_s):
-            def body(st, it):
-                gate = jnp.full((1, Bp), it, jnp.float32)
-                return ip_iter_lanes(
-                    data, st, gate, k_s, consts, interpret=_interp()
-                ), None
-
-            st, _ = jax.lax.scan(body, state, idxs)
-            return st
-
         if n_warm > 0:
-            state = phase(state, jnp.arange(n_warm, dtype=jnp.float32), 0)
+            state = ip_phase_lanes(
+                data, state, 0, n_warm, 0, consts, interpret=_interp()
+            )
         if iters - n_warm > 0:
-            state = phase(
-                state,
-                jnp.arange(n_warm, iters, dtype=jnp.float32),
-                k_stiff,
+            state = ip_phase_lanes(
+                data, state, k_stiff, iters - n_warm, n_warm, consts,
+                interpret=_interp(),
             )
 
         lb2 = lambda x: jnp.moveaxis(x, -1, 0)[:B]  # lanes -> (B, ...)
