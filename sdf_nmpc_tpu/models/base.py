@@ -63,3 +63,51 @@ def terminal_gate_enabled(cfg) -> bool:
     """
     fl = cfg.flags
     return bool(fl.enable_sdf and fl.recursive_feasibility and fl.stability)
+
+
+# ---------------------------------------------------------------------------
+# Lanes-form building blocks (ops/lin_kernels.py kernels): quaternion /
+# rotation component algebra for (k, L) lane-stacked arrays.  All expressions
+# are elementwise — no matmuls, no trailing-axis reductions — so they lower
+# cleanly in Pallas TPU kernels.
+# ---------------------------------------------------------------------------
+
+
+def lanes_quat(qraw):
+    """Normalized components (q0..q3) and rotation entries R[i][j] for
+    (4, L) lane-stacked quaternions (math.py quat2rot formulas)."""
+    import jax
+    import jax.numpy as jnp
+
+    inv = jax.lax.rsqrt(jnp.maximum((qraw * qraw).sum(0), 1e-30))
+    q0, q1, q2, q3 = qraw[0] * inv, qraw[1] * inv, qraw[2] * inv, qraw[3] * inv
+    R = [
+        [q0 * q0 + q1 * q1 - q2 * q2 - q3 * q3, 2 * (q1 * q2 - q0 * q3),
+         2 * (q1 * q3 + q0 * q2)],
+        [2 * (q1 * q2 + q0 * q3), q0 * q0 - q1 * q1 + q2 * q2 - q3 * q3,
+         2 * (q2 * q3 - q0 * q1)],
+        [2 * (q1 * q3 - q0 * q2), 2 * (q2 * q3 + q0 * q1),
+         q0 * q0 - q1 * q1 - q2 * q2 + q3 * q3],
+    ]
+    return (q0, q1, q2, q3), R
+
+
+def lanes_mv3(R, v):
+    """R @ v for component-list rotation R and 3-list v of (L,) arrays."""
+    return [R[i][0] * v[0] + R[i][1] * v[1] + R[i][2] * v[2] for i in range(3)]
+
+
+def lanes_mv3t(R, v):
+    """R^T @ v."""
+    return [R[0][i] * v[0] + R[1][i] * v[1] + R[2][i] * v[2] for i in range(3)]
+
+
+def lanes_quat_deriv(q, w):
+    """hamilton(q, (0, w)) / 2 in components (math.py:138)."""
+    q0, q1, q2, q3 = q
+    return [
+        0.5 * (-q1 * w[0] - q2 * w[1] - q3 * w[2]),
+        0.5 * (q0 * w[0] + q2 * w[2] - q3 * w[1]),
+        0.5 * (q0 * w[1] - q1 * w[2] + q3 * w[0]),
+        0.5 * (q0 * w[2] + q1 * w[1] - q2 * w[0]),
+    ]

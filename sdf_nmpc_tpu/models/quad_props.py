@@ -15,7 +15,8 @@ import numpy as np
 
 from .. import math as m
 from ..params import ParamLayout
-from .base import GRAVITY, ModelSpec
+from .base import (GRAVITY, ModelSpec, lanes_mv3, lanes_quat,
+                   lanes_quat_deriv)
 
 
 def _allocation_from_cfg(cfg):
@@ -66,6 +67,31 @@ def make_model(cfg) -> ModelSpec:
         dw = Jinv_j @ (Gt_j @ (wp**2) - jnp.cross(w, J_j @ w))
         return jnp.concatenate([v, dq, W_a, dw])
 
+    def f_lanes(x, u):
+        """f for (nx, L)/(nu, L) lane-stacked inputs (ops/lin_kernels.py);
+        golden-tested against ``f``.  The constant allocation/inertia
+        matrices unroll into scalar-coefficient expressions."""
+        import jax.numpy as jnp
+
+        q, R = lanes_quat(x[3:7])
+        v = [x[7], x[8], x[9]]
+        w = [x[10], x[11], x[12]]
+        t = [(u[i] * lim.wp) ** 2 for i in range(4)]
+        gf = [sum(float(Gf[i, j]) * t[j] for j in range(4)) for i in range(3)]
+        gt = [sum(float(Gt[i, j]) * t[j] for j in range(4)) for i in range(3)]
+        W_a = lanes_mv3(R, gf)
+        W_a = [W_a[0] / mass, W_a[1] / mass, W_a[2] / mass - GRAVITY]
+        dq = lanes_quat_deriv(q, w)
+        # J @ w (J diagonal from cfg), cross(w, Jw), Jinv @ (...)
+        Jw = [float(J[i, i]) * w[i] for i in range(3)]
+        cr = [
+            w[1] * Jw[2] - w[2] * Jw[1],
+            w[2] * Jw[0] - w[0] * Jw[2],
+            w[0] * Jw[1] - w[1] * Jw[0],
+        ]
+        dw = [float(Jinv[i, i]) * (gt[i] - cr[i]) for i in range(3)]
+        return jnp.stack(v + dq + W_a + dw, axis=0)
+
     def y(x, u, p):
         pos, q, v, w = _split(x)
         eta = m.quat2euler(q)
@@ -113,6 +139,7 @@ def make_model(cfg) -> ModelSpec:
         lbu=np.zeros(4),
         ubu=np.ones(4),
         formate_ref=formate_ref,
+        f_lanes=f_lanes,
         u_to_acc=u_to_acc,
         u_to_props=u_to_props,
     )

@@ -18,7 +18,8 @@ import numpy as np
 
 from .. import math as m
 from ..params import ParamLayout
-from .base import GRAVITY, ModelSpec
+from .base import (GRAVITY, ModelSpec, lanes_mv3, lanes_mv3t,
+                   lanes_quat, lanes_quat_deriv)
 
 
 def make_model(cfg) -> ModelSpec:
@@ -44,6 +45,21 @@ def make_model(cfg) -> ModelSpec:
         dq = m.hamilton_prod(q, jnp.concatenate([jnp.zeros(1), w])) / 2
         dv = R.T @ jnp.array([0.0, 0.0, -GRAVITY]) + jnp.stack([0.0 * gamma, 0.0 * gamma, gamma])
         return jnp.concatenate([R @ v, dq, dv])
+
+    def f_lanes(x, u):
+        """f for (nx, L)/(nu, L) lane-stacked inputs (ops/lin_kernels.py);
+        golden-tested against ``f`` (tests/test_ops.py)."""
+        import jax.numpy as jnp
+
+        q, R = lanes_quat(x[3:7])
+        v = [x[7], x[8], x[9]]
+        gamma = u[0] * lim.gamma
+        w = [u[1] * lim.wx, u[2] * lim.wy, u[3] * lim.wz]
+        dp = lanes_mv3(R, v)
+        dq = lanes_quat_deriv(q, w)
+        # R^T (0,0,-g) + (0,0,gamma)
+        dv = [-GRAVITY * R[2][0], -GRAVITY * R[2][1], -GRAVITY * R[2][2] + gamma]
+        return jnp.stack(dp + dq + dv, axis=0)
 
     def y(x, u, p):
         pos, q, v = _split(x)
@@ -80,5 +96,6 @@ def make_model(cfg) -> ModelSpec:
         lbu=np.array([0.0, -1.0, -1.0, -1.0]),
         ubu=np.array([1.0, 1.0, 1.0, 1.0]),
         formate_ref=formate_ref,
+        f_lanes=f_lanes,
         u_to_cmd=u_to_cmd,
     )

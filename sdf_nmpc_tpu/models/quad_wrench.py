@@ -18,7 +18,8 @@ import numpy as np
 
 from .. import math as m
 from ..params import ParamLayout
-from .base import GRAVITY, ModelSpec
+from .base import (GRAVITY, ModelSpec, lanes_mv3, lanes_mv3t,
+                   lanes_quat, lanes_quat_deriv)
 
 
 def make_model(cfg) -> ModelSpec:
@@ -43,6 +44,22 @@ def make_model(cfg) -> ModelSpec:
         dq = m.hamilton_prod(q, jnp.concatenate([jnp.zeros(1), w])) / 2
         dv = R.T @ jnp.array([0.0, 0.0, -GRAVITY]) + jnp.stack([0.0 * gamma, 0.0 * gamma, gamma])
         return jnp.concatenate([R @ v, dq, dv, torques])
+
+    def f_lanes(x, u):
+        """f for (nx, L)/(nu, L) lane-stacked inputs (ops/lin_kernels.py);
+        golden-tested against ``f`` (tests/test_ops.py).  Preserves the
+        reference's gyroscopic-term quirk (dw = torques only)."""
+        import jax.numpy as jnp
+
+        q, R = lanes_quat(x[3:7])
+        v = [x[7], x[8], x[9]]
+        w = [x[10], x[11], x[12]]
+        gamma = u[0] * lim.gamma
+        dp = lanes_mv3(R, v)
+        dq = lanes_quat_deriv(q, w)
+        dv = [-GRAVITY * R[2][0], -GRAVITY * R[2][1], -GRAVITY * R[2][2] + gamma]
+        dw = [u[1] * lim.torques, u[2] * lim.torques, u[3] * lim.torques]
+        return jnp.stack(dp + dq + dv + dw, axis=0)
 
     def y(x, u, p):
         pos, q, v, w = _split(x)
@@ -82,5 +99,6 @@ def make_model(cfg) -> ModelSpec:
         lbu=np.array([0.0, -1.0, -1.0, -1.0]),
         ubu=np.array([1.0, 1.0, 1.0, 1.0]),
         formate_ref=formate_ref,
+        f_lanes=f_lanes,
         u_to_cmd=u_to_cmd,
     )

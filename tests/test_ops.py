@@ -76,20 +76,22 @@ def _model(key="att"):
     return make_model(default_config().replace(mpc=dict(model=key)))
 
 
-def _rand_xu(rng, n):
-    x = rng.normal(size=(n, 10)).astype(np.float32)
+def _rand_xu(rng, n, nx=10):
+    x = rng.normal(size=(n, nx)).astype(np.float32)
     x[:, 3:7] += np.array([1.5, 0, 0, 0], np.float32)  # non-degenerate quats
     u = rng.uniform(-0.9, 0.9, size=(n, 4)).astype(np.float32)
     u[:, 0] = rng.uniform(0.1, 0.9, size=n)
     return x, u
 
 
-@pytest.mark.parametrize("key", ["acc", "att", "att_tau"])
+@pytest.mark.parametrize(
+    "key", ["acc", "att", "att_tau", "rates", "wrench", "props"]
+)
 def test_f_lanes_matches_f(key):
     model = _model(key)
     assert model.f_lanes is not None
     rng = np.random.default_rng(7)
-    x, u = _rand_xu(rng, 32)
+    x, u = _rand_xu(rng, 32, nx=model.nx)
     want = jax.vmap(model.f)(jnp.asarray(x), jnp.asarray(u))
     got = model.f_lanes(jnp.asarray(x.T), jnp.asarray(u.T)).T
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
