@@ -284,6 +284,8 @@ def solve_qp(
         # whole-iteration fused IP kernel (ops/ip_kernel.py): covers the
         # production configuration; anything else falls back to the composed
         # pallas path below
+        n_stiff_req = min(stiff_iters if stiff_iters is not None else iters,
+                          iters)
         supported = (
             jnp.dtype(qp.g.dtype) == jnp.float32
             and warm_duals is None
@@ -291,6 +293,10 @@ def solve_qp(
             and not polish
             and ir_steps == 0
             and qp.c0.shape[0] > 0
+            # the fused kernel's stiff pass needs 8-aligned k (sublane tiling)
+            # — any other configured split must keep the composed path, which
+            # supports arbitrary k via the XLA small-Cholesky fallback
+            and (k_stiff % 8 == 0 or n_stiff_req == 0)
         )
         if supported:
             from ..ops.ip_kernel import make_fused_solve

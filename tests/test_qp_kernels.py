@@ -178,3 +178,31 @@ def test_condense_lanes_matches_scan():
             np.testing.assert_allclose(
                 np.asarray(got[b]), np.asarray(want), rtol=1e-5, atol=1e-5
             )
+
+
+def test_solve_qp_fused_unaligned_kstiff_falls_back():
+    """k_stiff not a multiple of 8 must keep the stiff split (composed
+    path), not silently drop it in the fused kernel."""
+    from sdf_nmpc_tpu.solver.qp import QpData, solve_qp
+
+    B, nz, nc = 3, 16, 10
+    H = _spd_batch(B, nz)
+    qp = QpData(
+        H=jnp.asarray(H, jnp.float32),
+        g=jnp.asarray(RNG.normal(size=(B, nz)) * 2, jnp.float32),
+        C=jnp.asarray(RNG.normal(size=(B, nc, nz)), jnp.float32),
+        c0=jnp.asarray(RNG.normal(size=(B, nc)), jnp.float32),
+        lh=jnp.full((B, nc), -0.1, jnp.float32),
+        uh=jnp.full((B, nc), 0.1, jnp.float32),
+        z1=jnp.full((B, nc), 1e3, jnp.float32),
+        z2=jnp.full((B, nc), 1e4, jnp.float32),
+        lb=jnp.full((B, nz), -0.7, jnp.float32),
+        ub=jnp.full((B, nz), 0.7, jnp.float32),
+    )
+    run = lambda impl: np.asarray(
+        jax.vmap(
+            lambda q: solve_qp(q, iters=12, stiff_iters=4, k_stiff=4,
+                               chol_impl=impl).dz
+        )(qp)
+    )
+    np.testing.assert_allclose(run("fused"), run("pallas"), atol=1e-4)
