@@ -59,6 +59,23 @@ def make_model(cfg) -> ModelSpec:
             axis=0,
         )
 
+    def y_lanes(x, u, q_d):
+        """Stage residual for lane-stacked inputs (ops/lin_kernels.py);
+        golden-tested against ``y`` (tests/test_ops.py)."""
+        qraw = x[3:7]
+        inv = jax.lax.rsqrt(jnp.maximum((qraw * qraw).sum(0), 1e-30))
+        q0, q1, q2, q3 = qraw[0] * inv, qraw[1] * inv, qraw[2] * inv, qraw[3] * inv
+        s = jax.lax.rsqrt(jnp.maximum(q0 * q0 + q1 * q1 + q2 * q2 + q3 * q3, 1e-30))
+        qi0, qi1, qi2, qi3 = q0 * s, -q1 * s, -q2 * s, -q3 * s
+        qe3 = q_d[0] * qi3 + q_d[1] * qi2 - q_d[2] * qi1 + q_d[3] * qi0
+        return jnp.stack(
+            [
+                x[0], x[1], x[2], qe3, x[7], x[8], x[9],
+                u[0] * lim.ax, u[1] * lim.ay, u[2] * lim.az, u[3] * lim.wz,
+            ],
+            axis=0,
+        )
+
     def y(x, u, p):
         pos, q, v = _split(x)
         wz = u[3] * lim.wz
@@ -105,4 +122,5 @@ def make_model(cfg) -> ModelSpec:
         formate_ref=formate_ref,
         u_to_acc=u_to_acc,
         f_lanes=f_lanes,
+        y_lanes=y_lanes,
     )

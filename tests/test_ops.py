@@ -140,8 +140,9 @@ def test_erk4_sens_nodes_vmap_rule():
         np.testing.assert_allclose(np.asarray(B_b[b]), np.asarray(Bm), atol=1e-4)
 
 
-def test_y_lanes_matches_y():
-    model = _model("att")
+@pytest.mark.parametrize("key", ["acc", "att", "att_tau"])
+def test_y_lanes_matches_y(key):
+    model = _model(key)
     assert model.y_lanes is not None
     rng = np.random.default_rng(9)
     x, u = _rand_xu(rng, 32)
