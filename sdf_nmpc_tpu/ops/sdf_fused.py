@@ -102,10 +102,31 @@ def pack_neural_df_params(module, params) -> dict:
 
 def _embed_with_tangents(embed_fn, pos):
     """(emb, demb): embedding value (B, nemb) and tangent basis (B, 3, nemb)."""
+    B = pos.shape[0]
     if embed_fn is None:
-        B = pos.shape[0]
         eye = jnp.broadcast_to(jnp.eye(3, dtype=pos.dtype), (B, 3, 3))
         return pos, eye
+
+    from ..nn.embeddings import PositionEmbedding
+
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=pos.dtype), (B, 3, 3))
+    if isinstance(embed_fn, PositionEmbedding):
+        # analytic tangents: emb = [x, sin(xb), cos(xb)] with
+        # xb = (x @ dirs) kron freqs, so d(emb)/dx_k = [e_k, cos(xb) J_k,
+        # -sin(xb) J_k] with the CONSTANT J = dirs kron freqs — one sin+cos
+        # evaluation shared by value and all three tangents, instead of the
+        # nested-jvp form's four full passes with unfused intermediates
+        dirs = jnp.asarray(embed_fn.dirs, pos.dtype)  # (3, nd)
+        freqs = jnp.asarray(embed_fn.freq_bands, pos.dtype)  # (nf,)
+        proj = pos @ dirs  # (B, nd)
+        xb = (proj[..., None] * freqs).reshape(B, -1)  # (B, nd*nf)
+        s, c = jnp.sin(xb), jnp.cos(xb)
+        emb = jnp.concatenate([pos, s, c], axis=-1)
+        J = (dirs[:, :, None] * freqs).reshape(3, -1)  # (3, nd*nf)
+        demb = jnp.concatenate(
+            [eye, c[:, None, :] * J[None], -s[:, None, :] * J[None]], axis=-1
+        )
+        return emb, demb
 
     def one(p):
         val, jac = jax.vmap(lambda t: jax.jvp(embed_fn, (p,), (t,)))(jnp.eye(3, dtype=p.dtype))
