@@ -168,13 +168,15 @@ def _ip_phase_kernel(
          masked = eta_raw
          stiff = jnp.zeros((nc, LANES), jnp.bool_)
          onehots = []
-         for i in range(k_s):
+         # ks_i (not i): the fori_loop index `i` feeds the best-iterate gate
+         # above and must never be shadowed by these unrolled Python loops
+         for ks_i in range(k_s):
              idx = jnp.argmax(masked, axis=0)  # (L,)
              onehot = iota_c == idx[None, :]
              onehots.append(onehot)
              stiff = stiff | onehot
              masked = jnp.where(onehot, -_INF, masked)
-             Cs_scr[i, :, :] = jnp.sum(
+             Cs_scr[ks_i, :, :] = jnp.sum(
                  jnp.where(onehot[:, None, :], C, 0.0), axis=0
              )
          cap = jnp.where(stiff, _INF, f32(ratio_cap))
@@ -274,14 +276,14 @@ def _ip_phase_kernel(
              _tri_solve_lanes_blocked(A_scr, Xs_scr, nz)
          Xs = Xs_scr[...]
          Cs = Cs_scr[...]
-         for i in range(k_s):
-             Lt_scr[i, :, :] = jnp.sum(Cs[i][None] * Xs, axis=1)
-         for i in range(k_s):
+         for ks_i in range(k_s):
+             Lt_scr[ks_i, :, :] = jnp.sum(Cs[ks_i][None] * Xs, axis=1)
+         for ks_i in range(k_s):
              d_s_inv = jnp.minimum(
-                 1.0 / jnp.maximum(d_s_rows[i], 1e-30), 1e30
+                 1.0 / jnp.maximum(d_s_rows[ks_i], 1e-30), 1e30
              )
-             d = Lt_scr[i, i, :] + d_s_inv
-             Lt_scr[i, i, :] = d + 10 * eps * (jnp.abs(d) + 1e-30)
+             d = Lt_scr[ks_i, ks_i, :] + d_s_inv
+             Lt_scr[ks_i, ks_i, :] = d + 10 * eps * (jnp.abs(d) + 1e-30)
          _chol_lanes_blocked(Lt_scr, k_s)
 
          def _solve(rhs):

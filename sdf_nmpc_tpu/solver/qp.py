@@ -293,19 +293,21 @@ def solve_qp(
             and not polish
             and ir_steps == 0
             and qp.c0.shape[0] > 0
-            # the fused kernel's stiff pass needs 8-aligned k (sublane tiling)
-            # — any other configured split must keep the composed path, which
-            # supports arbitrary k via the XLA small-Cholesky fallback
-            and (k_stiff % 8 == 0 or n_stiff_req == 0)
+            # the fused kernel's stiff pass needs 8-aligned k (sublane
+            # tiling) AND k <= nc: its argmax-and-mask top-k would select
+            # duplicate rows once all nc rows are masked, silently corrupting
+            # the Woodbury correction — the composed path clamps to
+            # min(k_stiff, nc) and handles arbitrary k via the XLA
+            # small-Cholesky fallback, so any other split falls back to it
+            and (n_stiff_req == 0
+                 or (k_stiff % 8 == 0 and qp.c0.shape[0] >= k_stiff))
         )
         if supported:
             from ..ops.ip_kernel import make_fused_solve
 
-            n_stiff_f = min(stiff_iters if stiff_iters is not None else iters,
-                            iters)
             fused = make_fused_solve(
                 iters=iters,
-                n_warm=iters - n_stiff_f if k_stiff > 0 else iters,
+                n_warm=iters - n_stiff_req if k_stiff > 0 else iters,
                 k_stiff=k_stiff,
                 mu0=mu0,
                 box_margin=box_margin,
