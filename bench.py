@@ -73,16 +73,31 @@ def main():
         f"({ITERS} chained steps in {t_total:.2f} s, rtt {rtt * 1e3:.0f} ms)",
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "nmpc_solves_per_s_chip",
-                "value": round(solves_per_s, 1),
-                "unit": "solves/s",
-                "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 2),
-            }
+
+    # on-hardware accuracy next to the throughput (the BASELINE <=1e-3
+    # contract, VERDICT r1 item 2): 32 hard cold starts vs the checked-in CPU
+    # f64/40-iter reference.  A faster-but-wrong solver fails here.
+    record = {
+        "metric": "nmpc_solves_per_s_chip",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 2),
+    }
+    if os.environ.get("BENCH_SKIP_ACCURACY", "") != "1":
+        from sdf_nmpc_tpu.utils import accuracy
+
+        acc = accuracy.check_accuracy()
+        print(
+            f"# accuracy: u0 max {acc['u0_max_err']:.2e} mean "
+            f"{acc['u0_mean_err']:.2e} ({acc['n_ok']}/{acc['n_scen']} ok)",
+            file=sys.stderr,
         )
-    )
+        record["u0_max_err"] = round(acc["u0_max_err"], 8)
+        record["u0_mean_err"] = round(acc["u0_mean_err"], 8)
+        record["accuracy_ok"] = bool(
+            acc["u0_max_err"] <= 1e-3 and acc["n_ok"] == acc["n_scen"]
+        )
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,132 @@
+"""Canonical on-hardware accuracy workload (BASELINE accuracy contract).
+
+32 hard random cold-start scenarios for the default att + neural-SDF OCP,
+solved by the production f32 path and compared to a checked-in CPU f64/40-iter
+reference (tests/golden/accuracy_ref_u0.npz).  Shared by
+scripts/accuracy_tpu.py (manual runs, reference regeneration) and bench.py
+(the driver artifact: u0_max_err / u0_mean_err next to solves/s), so a faster-
+but-wrong solver change can never ship through the bench unnoticed.
+
+The scenario set is fully deterministic (seeded rng, seed-0 net init); the
+reference fixture only changes when the OCP formulation itself changes —
+regenerate with ``python scripts/accuracy_tpu.py ref``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+
+REF_NPZ = Path(__file__).resolve().parents[2] / "tests" / "golden" / "accuracy_ref_u0.npz"
+N_SCEN = 32
+LATENT = 16
+
+
+def build_scenarios(cfg, ocp, layout):
+    """(x0, p, yref_row, W_row) per scenario — hard random cold starts."""
+    from ..ref_gen import Ref
+
+    rng = np.random.default_rng(0)
+    N = ocp.N
+    out = []
+    for _ in range(N_SCEN):
+        x0 = np.zeros(10)
+        x0[3] = 1.0
+        x0[:3] = rng.normal(size=3) * 0.5
+        x0[7:] = rng.normal(size=3) * 0.5
+        p = np.zeros((N + 1, layout.np_total))
+        layout.set_flag(p, 1.0)
+        layout.set_camera(p, np.zeros(3), np.eye(3))
+        layout.set_q_d(p, [1, 0, 0, 0])
+        layout.set_latent(p, rng.normal(size=LATENT) * 0.2)
+        ref = Ref(cfg).use_constrained_weights(False)
+        ref.p = rng.normal(size=3) * 1.5
+        yr, W = ocp.pack_ref(ref)
+        out.append((x0, p, yr, W))
+    return out
+
+
+def build_setup(dtype_cfg=None):
+    """(cfg, ocp, layout) for the canonical accuracy workload."""
+    from ..config import default_config
+    from ..nn import init_neural_df, make_sdf_fn
+    from ..ocp import build_ocp
+    from ..params import ParamLayout
+
+    cfg = default_config().replace(nn=dict(size_latent=LATENT))
+    env_over = json.loads(os.environ.get("BENCH_SOLVER_OVERRIDES", "null"))
+    if env_over:
+        cfg = cfg.replace(solver=env_over)
+    if dtype_cfg:
+        cfg = cfg.replace(solver=dtype_cfg)
+    module, params = init_neural_df(
+        size_latent=LATENT, layer_sizes=(64, 64, 64, 64), seed=0
+    )
+    sdf_fn = make_sdf_fn(module, params)
+    vg = None
+    if bool(cfg.solver.get("fused_sdf", True)):
+        from ..ops import make_fused_sdf_vg
+
+        vg = make_fused_sdf_vg(
+            module, params, dtype=str(cfg.solver.get("sdf_fused_dtype", "f32"))
+        )
+    ocp = build_ocp(cfg, sdf_fn=sdf_fn, sdf_max_df=1.0, sdf_value_grad_batch=vg)
+    return cfg, ocp, ParamLayout.from_cfg(cfg)
+
+
+def solve_batch(dtype_cfg=None):
+    """Solve the 32 scenarios once; returns (u0 (32, nu), status (32,))."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..solver import SolveInputs, init_state, make_rti_step
+
+    cfg, ocp, layout = build_setup(dtype_cfg)
+    step = make_rti_step(ocp, cfg, with_evals=False)
+    N = ocp.N
+    dt = jnp.float64 if (dtype_cfg or {}).get("dtype") == "float64" else jnp.float32
+
+    scen = build_scenarios(cfg, ocp, layout)
+    x0s = np.stack([s[0] for s in scen])
+    ps = np.stack([s[1] for s in scen])
+    yrs = np.stack([s[2] for s in scen])
+    Ws = np.stack([s[3] for s in scen])
+    inputs = SolveInputs(
+        x0=jnp.asarray(x0s, dt),
+        yref=jnp.asarray(np.tile(yrs[:, None], (1, N, 1)), dt),
+        W=jnp.asarray(np.tile(Ws[:, None], (1, N, 1)), dt),
+        yrefN=jnp.asarray(yrs[:, : ocp.nyN], dt),
+        WN=jnp.asarray(Ws[:, : ocp.nyN], dt),
+        p=jnp.asarray(ps, dt),
+    )
+    states = jax.vmap(lambda x: init_state(ocp, x, dt))(jnp.asarray(x0s, dt))
+    res = jax.jit(jax.vmap(step))(states, inputs)
+    return np.asarray(res.u0, np.float64), np.asarray(res.status)
+
+
+def save_reference():
+    """CPU f64/40-iter reference -> tests/golden/accuracy_ref_u0.npz."""
+    u0, status = solve_batch(dict(dtype="float64", qp_iters=40))
+    assert (status == 0).all()
+    REF_NPZ.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(REF_NPZ, u0=u0)
+    return REF_NPZ
+
+
+def check_accuracy():
+    """Production-path solve vs the checked-in reference.
+
+    Returns dict(u0_max_err, u0_mean_err, n_ok) — the BASELINE contract is
+    u0_max_err <= 1e-3 (BASELINE.md:33)."""
+    ref = np.load(REF_NPZ)["u0"]
+    u0, status = solve_batch()
+    err = np.abs(u0 - ref).max(axis=1)
+    return {
+        "u0_max_err": float(err.max()),
+        "u0_mean_err": float(err.mean()),
+        "n_ok": int((status == 0).sum()),
+        "n_scen": N_SCEN,
+    }
