@@ -68,20 +68,19 @@ def import_mlp(state_dict, n_hidden: int) -> dict:
 
 
 def _resblock(sd, prefix, use_batchnorm, stride):
-    """Flax ResBlock params/batch_stats from a torch ResBlock
-    (reference resnet.py:33-46: layers.{0,1,3} conv/bn indices with bn,
-    layers.{0,2} without; shortcut.{0,1})."""
+    """Flax ResBlock params/batch_stats from a torch ResBlock.
+
+    The reference keeps Identity placeholders when batchnorm is off
+    (resnet.py:33-38), so the non-bottleneck Sequential indices are fixed at
+    [0 conv, 1 bn/Id, 2 relu, 3 conv, 4 bn/Id] in BOTH modes; shortcut.{0,1}.
+    """
     params, stats = {}, {}
-    conv_idx = [0, 3] if use_batchnorm else [0, 2]
-    # torch Sequential for non-bottleneck: conv, bn/id, relu, conv, bn/id
-    ci = 0
     for j, idx in enumerate([0, 3]):
         params[f"Conv_{j}"] = _conv(sd, f"{prefix}.layers.{idx}", with_bias=not use_batchnorm)
         if use_batchnorm:
             p, s = _bn(sd, f"{prefix}.layers.{idx + 1}")
             params[f"BatchNorm_{j}"] = p
             stats[f"BatchNorm_{j}"] = s
-        ci += 1
     if stride != 1:
         params["Conv_2"] = _conv(sd, f"{prefix}.shortcut.0", with_bias=not use_batchnorm)
         if use_batchnorm:
