@@ -26,9 +26,17 @@ rows kept stage-local:
 The slack/dual elimination per row is identical to the condensed backend
 (each row contributes a rank-1 barrier term eta to the stage Hessian and a
 gradient correction); the dense ``C``-matrix products become stage-wise
-(nh, nx/nu) contractions.  The stiff-row Woodbury split is not implemented
-here — rows use the ratio_cap backstop (the condensed backend remains the
-accuracy-tuned default; see docs/performance.md).
+(nh, nx/nu) contractions.
+
+Stiff-row split (same f32-accuracy treatment as the condensed backend,
+solver/qp.py): the k_stiff rows with the largest barrier coefficient are
+EXCLUDED from the stage Hessians and applied exactly through the Woodbury
+identity.  The Riccati recursion plays the role of A^-1: each selected row,
+expressed as a stage-local gradient, gets one linear backward resolve sweep
+(reusing the factorization), and the k x k Woodbury system corrects both the
+predictor and the corrector directions.  Mild rows keep the ratio_cap
+backstop.  This brings qp_backend=riccati to the same <=1e-3 f32 contract as
+the condensed backend (tests/test_qp_riccati.py, docs/performance.md).
 
 Iterates stay dynamics-feasible by construction: the initial iterate rolls
 the clipped hover step forward through the linearized dynamics, and every
@@ -152,9 +160,16 @@ def solve_qp_riccati(
     mu0: float = 0.1,
     box_margin: float = 1e-6,
     ratio_cap_override: float = None,
+    k_stiff: int = 8,
+    stiff_iters: int = None,
 ) -> RiccatiQpResult:
     """Solve one stage-structured QP (`iters` Mehrotra iterations).
-    vmap over a leading batch axis for scenarios."""
+    vmap over a leading batch axis for scenarios.
+
+    k_stiff rows are handled exactly via the per-iteration Woodbury split
+    (module docstring); stiff_iters limits the split to the LAST n iterations
+    (earlier iterations never hit the ratio cap), matching the condensed
+    backend's schedule."""
     dtype = sq.q.dtype
     N, nx = sq.A.shape[0], sq.A.shape[1]
     nu = sq.B.shape[2]
@@ -266,7 +281,32 @@ def solve_qp_riccati(
         ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
         return jnp.min(ratio) if ratio.size else jnp.asarray(jnp.inf, v.dtype)
 
-    def body(carry, _):
+    # global row-gradient tensors for the stiff Woodbury resolves: row i of
+    # the flattened constraint set as a stage-local (q, r) gradient pair
+    use_stiff = k_stiff > 0 and nc > 0
+    if use_stiff:
+        eyeN1 = jnp.eye(N + 1, dtype=dtype)[:N]  # (N, N+1)
+        eyeN = jnp.eye(N, dtype=dtype)
+        GX_all = jnp.concatenate(
+            [
+                (sq.Cx[:, :, None, :] * eyeN1[:, None, :, None]).reshape(
+                    N * nh, N + 1, nx
+                ),
+                jnp.concatenate(
+                    [jnp.zeros((nhN, N, nx), dtype), sq.CxN[:, None, :]], axis=1
+                ),
+            ],
+            axis=0,
+        )  # (nc, N+1, nx)
+        GU_all = jnp.concatenate(
+            [
+                (sq.Cu[:, :, None, :] * eyeN[:, None, :, None]).reshape(N * nh, N, nu),
+                jnp.zeros((nhN, N, nu), dtype),
+            ],
+            axis=0,
+        )  # (nc, N, nu)
+
+    def body(k_s, carry, _):
         (ddx, ddu, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u, mu,
          best_x, best_u, best_m) = carry
         duf = ddu.reshape(-1)
@@ -297,19 +337,42 @@ def solve_qp_riccati(
         r_sl = z1 + z2 * sl - lam_l - gam_l
         r_su = z1 + z2 * su - lam_u - gam_u
 
-        # barrier coefficients (capped — no stiff split in this backend)
-        ql = jnp.minimum(lam_l / tl, ratio_cap)
-        qu = jnp.minimum(lam_u / tu, ratio_cap)
-        pl = jnp.minimum(gam_l / sl, ratio_cap)
-        pu = jnp.minimum(gam_u / su, ratio_cap)
+        # barrier coefficients: mild rows capped, the k_s largest-eta rows
+        # selected for the exact Woodbury split (condensed backend semantics,
+        # solver/qp.py)
+        ql_raw = lam_l / tl
+        qu_raw = lam_u / tu
+        pl_raw = gam_l / sl
+        pu_raw = gam_u / su
+
+        def _eta_of(ql_, qu_, pl_, pu_):
+            d_l_ = z2 + ql_ + pl_
+            d_u_ = z2 + qu_ + pu_
+            return ql_ * (z2 + pl_) / d_l_ + qu_ * (z2 + pu_) / d_u_
+
+        if k_s > 0:
+            eta_raw = _eta_of(ql_raw, qu_raw, pl_raw, pu_raw)
+            _, sidx = jax.lax.top_k(eta_raw, k_s)
+            stiff = jnp.zeros((nc,), bool).at[sidx].set(True)
+            cap = jnp.where(stiff, jnp.inf, ratio_cap)
+        else:
+            cap = ratio_cap
+        ql = jnp.minimum(ql_raw, cap)
+        qu = jnp.minimum(qu_raw, cap)
+        pl = jnp.minimum(pl_raw, cap)
+        pu = jnp.minimum(pu_raw, cap)
         d_l = z2 + ql + pl
         d_u = z2 + qu + pu
-        eta = ql * (z2 + pl) / d_l + qu * (z2 + pu) / d_u  # (nc,)
+        eta = _eta_of(ql, qu, pl, pu)  # (nc,)
         rbl = nu_l / bl
         rbu = nu_u / bu
         rb = (rbl + rbu).reshape(N, nu)
 
-        # stage Hessians augmented by the barrier terms
+        if k_s > 0:
+            d_s = eta[sidx]  # exact (uncapped) stiff coefficients
+            eta = jnp.where(stiff, 0.0, eta)  # mild rows only in the Hessians
+
+        # stage Hessians augmented by the (mild) barrier terms
         eta_s = eta[: N * nh].reshape(N, nh)
         eta_N = eta[N * nh :]
         Qb = sq.Q.at[:N].add(jnp.einsum("kni,kn,knj->kij", sq.Cx, eta_s, sq.Cx))
@@ -362,7 +425,36 @@ def solve_qp_riccati(
         # over the homogeneous-dynamics subspace, i.e. solves Hbar d = -g
         q_rhs, r_rhs = _grad_of(*aff_t)
         K, kff, Ls, G = _riccati_factor(Qb, q_rhs, Rb, r_rhs, Sb, sq.A, sq.B)
-        dxs_a, dus_a = _rollout(K, kff, sq.A, sq.B, nx, dtype)
+
+        if k_s > 0:
+            # Woodbury columns: each stiff row as a stage gradient through a
+            # linear resolve sweep; the rollout of the sweep output is -y_i
+            # (the sweep solves Hbar d = -g).  T = diag(1/d_s) + Cs Hbar^-1 Cs'
+            Cx_rows = GX_all[sidx]  # (k_s, N+1, nx)
+            Cu_rows = GU_all[sidx]  # (k_s, N, nu)
+            kff_rows = jax.vmap(
+                lambda qg, rg: _riccati_resolve(K, Ls, G, qg, rg, sq.A, sq.B)
+            )(Cx_rows, Cu_rows)
+            y_dx, y_du = jax.vmap(
+                lambda kf: _rollout(K, kf, sq.A, sq.B, nx, dtype)
+            )(kff_rows)  # = -y_i
+            CY = jax.vmap(lambda dx_, du_: c_apply(dx_, du_)[sidx])(y_dx, y_du)
+            d_s_inv = jnp.minimum(1.0 / jnp.maximum(d_s, 1e-30), 1e30)
+            T = -CY.T + jnp.diag(d_s_inv)
+            T = T + jnp.diag(10 * eps * (jnp.abs(jnp.einsum("ii->i", T)) + 1e-30))
+            Lt = jnp.linalg.cholesky(T)
+
+            def woodbury(dxs, dus):
+                """d <- d - Y T^-1 Cs d  (Y columns are -(y_dx, y_du))."""
+                t = jax.scipy.linalg.cho_solve((Lt, True), c_apply(dxs, dus)[sidx])
+                dxs = dxs + jnp.einsum("j,jki->ki", t, y_dx)
+                dus = dus + jnp.einsum("j,jku->ku", t, y_du)
+                return dxs, dus
+
+        else:
+            woodbury = lambda dxs, dus: (dxs, dus)
+
+        dxs_a, dus_a = woodbury(*_rollout(K, kff, sq.A, sq.B, nx, dtype))
         aff = _recover(dxs_a, dus_a, *aff_t)
 
         def step_len(d, frac):
@@ -419,7 +511,7 @@ def solve_qp_riccati(
         )
         q_rhs2, r_rhs2 = _grad_of(*corr_t)
         kff2 = _riccati_resolve(K, Ls, G, q_rhs2, r_rhs2, sq.A, sq.B)
-        dxs_c, dus_c = _rollout(K, kff2, sq.A, sq.B, nx, dtype)
+        dxs_c, dus_c = woodbury(*_rollout(K, kff2, sq.A, sq.B, nx, dtype))
         corr = _recover(dxs_c, dus_c, *corr_t)
         alpha = step_len(corr, tau)
         (dxs_c, dus_c, dw, dsl, dsu, dlam_l, dlam_u, dgam_l, dgam_u, dnu_l,
@@ -450,7 +542,21 @@ def solve_qp_riccati(
     best0 = jnp.full((), jnp.inf, dtype)
     carry = (ddx, ddu, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u, mu,
              ddx, ddu, best0)
-    carry, _ = jax.lax.scan(body, carry, None, length=iters)
+    # warm iterations never hit the ratio cap -> run capped-only; the last
+    # stiff_iters iterations carry the exact Woodbury split (condensed
+    # backend's schedule, cfg.solver.qp_stiff_iters)
+    from functools import partial
+
+    n_stiff = 0
+    if use_stiff:
+        n_stiff = min(stiff_iters if stiff_iters is not None else iters, iters)
+    n_warm = iters - n_stiff
+    if n_warm > 0:
+        carry, _ = jax.lax.scan(partial(body, 0), carry, None, length=n_warm)
+    if n_stiff > 0:
+        carry, _ = jax.lax.scan(
+            partial(body, min(k_stiff, nc)), carry, None, length=n_stiff
+        )
     (ddx, ddu, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u, mu,
      best_x, best_u, best_m) = carry
     ddx, ddu = best_x, best_u

@@ -111,15 +111,36 @@ def _scatter_blocks(N: int, nu: int, dtype) -> np.ndarray:
     return S
 
 
-def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True):
+def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True,
+                  budget: str = "cold"):
     """Build the single-scenario RTI step function.
 
     Returns step(state, inputs) -> SolveResult.  Pure; jit/vmap it freely.
     with_evals=False skips the per-node diagnostics vector (which re-evaluates
     the SDF network at all N+1 nodes) — use for throughput paths that do not
     consume ``result.evals``.
+
+    budget selects the QP iteration schedule (a *static* choice — two traced
+    programs, the host picks per tick; a traced lax.cond would execute both
+    sides under vmap):
+      "cold"  -- cfg.solver.qp_iters (+ qp_stiff_iters): the cold-start floor.
+      "warm"  -- cfg.solver.qp_iters_warm (+ qp_stiff_iters_warm) when set,
+                 else the cold budget.  Warm-started RTI ticks re-converge the
+                 re-linearized QP in fewer interior-point iterations than a
+                 cold start (the acados analogue is HPIPM's early exit under
+                 primal warm start, reference ocp.py:113-116, which a batched
+                 fixed-shape solve cannot replicate dynamically); the warm
+                 floor is measured by the fixed-state replay testbed
+                 (scripts/warm_testbed.py, docs/performance.md).
     """
     dtype = jnp.dtype(cfg.solver.dtype)
+    qp_iters = int(cfg.solver.qp_iters)
+    qp_stiff_iters = cfg.solver.get("qp_stiff_iters", None)
+    if budget == "warm":
+        qp_iters = int(cfg.solver.get("qp_iters_warm", None) or qp_iters)
+        qp_stiff_iters = cfg.solver.get("qp_stiff_iters_warm", qp_stiff_iters)
+    elif budget != "cold":
+        raise ValueError(f"unknown budget {budget!r}")
     N, nx, nu = ocp.N, ocp.nx, ocp.nu
     nz = N * nu
     nh, nhN = ocp.nh, ocp.nhN
@@ -364,9 +385,11 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True):
             )
             rres = solve_qp_riccati(
                 sqd,
-                iters=int(cfg.solver.qp_iters),
+                iters=qp_iters,
                 mu0=float(cfg.solver.barrier_init),
                 box_margin=float(cfg.solver.box_margin),
+                k_stiff=int(cfg.solver.get("qp_stiff_k", 16)),
+                stiff_iters=qp_stiff_iters,
             )
             return _finish(X, U, rres.ddx, rres.ddu, rres.kkt_residual,
                            rres.complementarity, state.qp_duals, p)
@@ -511,13 +534,13 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True):
         with jax.default_matmul_precision(qp_precision):
             qp_res: QpResult = solve_qp(
                 qp,
-                iters=int(cfg.solver.qp_iters),
+                iters=qp_iters,
                 mu0=float(cfg.solver.barrier_init),
                 box_margin=float(cfg.solver.box_margin),
                 warm_duals=state.qp_duals if dual_ws else None,
                 ir_steps=int(cfg.solver.get("ir_steps", 0)),
                 k_stiff=int(cfg.solver.get("qp_stiff_k", 16)),
-                stiff_iters=cfg.solver.get("qp_stiff_iters", None),
+                stiff_iters=qp_stiff_iters,
                 chol_impl=cfg.solver.get("chol_impl", "auto"),
             )
         dz = qp_res.dz

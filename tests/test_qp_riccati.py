@@ -100,6 +100,21 @@ def test_riccati_long_horizon(cfg_nosdf):
     assert np.isfinite(X).all()
 
 
+def test_riccati_f32_meets_contract():
+    """qp_backend=riccati at production f32 defaults meets the <=1e-3 u0
+    contract on the canonical 32-cold-start accuracy workload vs the
+    checked-in f64 golden (VERDICT r1 item 4).  The stiff-row Woodbury split
+    carries it: without the split the same workload lands at ~7e-3
+    (docs/performance.md)."""
+    from sdf_nmpc_tpu.utils import accuracy
+
+    ref = np.load(accuracy.REF_NPZ)["u0"]
+    u0, status = accuracy.solve_batch(dict(qp_backend="riccati", dtype="float32"))
+    assert (status == 0).all()
+    err = np.abs(u0 - ref).max()
+    assert err <= 1e-3, f"riccati f32 u0 max err {err:.2e}"
+
+
 def test_riccati_batched_vmap(cfg_nosdf):
     """Backend is vmappable over scenarios like the condensed one."""
     from sdf_nmpc_tpu.parallel import stack_tree
