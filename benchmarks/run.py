@@ -161,8 +161,20 @@ def config4(batch=4096):
 
 
 def config5(per_device=512):
-    """Sharded sweep over all devices (multi-host via jax.distributed)."""
+    """Sharded sweep over all devices (multi-host via jax.distributed), with
+    the BASELINE scaling-efficiency measurement (BASELINE.md:34):
+
+        efficiency = aggregate_solves_per_s
+                     / (n_dev * single_device_solves_per_s at the same
+                        per-device batch)
+
+    Caveat printed with the result: under a VIRTUAL device mesh
+    (xla_force_host_platform_device_count) all "devices" share one CPU's
+    cores, so the single-device denominator uses the whole machine and the
+    efficiency under-reports; the honest virtual-mesh metric is the sharding
+    overhead vs the identical unsharded batch, which is also printed."""
     import jax
+    import json
 
     from sdf_nmpc_tpu.parallel import make_batched_step, make_mesh, shard_batch
 
@@ -171,19 +183,102 @@ def config5(per_device=512):
     cfg, ocp, step, states, inputs = setup(enable_sdf=True, batch=batch)
     mesh = make_mesh()
     bstep = make_batched_step(ocp, cfg, mesh=mesh)
-    states = shard_batch(states, mesh)
-    inputs = shard_batch(inputs, mesh)
-    med, p99, (results, stats) = _timeit(bstep, states, inputs, repeat=10)
+    sh_states = shard_batch(states, mesh)
+    sh_inputs = shard_batch(inputs, mesh)
+    med, p99, (results, stats) = _timeit(bstep, sh_states, sh_inputs, repeat=10)
+    agg = batch / med
+
+    # single device at the same per-device batch (the efficiency denominator)
+    mesh1 = make_mesh(1)
+    b1step = make_batched_step(ocp, cfg, mesh=mesh1)
+    take = lambda t: jax.tree.map(lambda x: x[:per_device], t)
+    s1 = shard_batch(take(states), mesh1)
+    i1 = shard_batch(take(inputs), mesh1)
+    med1, _, _ = _timeit(b1step, s1, i1, repeat=10)
+    single = per_device / med1
+    eff = agg / (n_dev * single)
+
+    # sharding overhead: same full batch as ONE unsharded vmap program
+    vstep = jax.jit(jax.vmap(step))
+    medu, _, _ = _timeit(vstep, states, inputs, repeat=10)
+    overhead = med / medu - 1.0
+
     print(
         f"config 5 (sharded, {n_dev} dev):     median {med * 1e3:7.1f} ms  "
-        f"-> {batch / med:8.0f} solves/s aggregate  "
-        f"(ok {int(stats.n_ok)}/{batch})"
+        f"-> {agg:8.0f} solves/s aggregate  (ok {int(stats.n_ok)}/{batch})"
     )
+    print(
+        f"         scaling efficiency {eff * 100:5.1f}% vs 1 device at "
+        f"per-device batch {per_device} ({single:.0f} solves/s/dev); "
+        f"sharding overhead vs unsharded same-batch vmap {overhead * 100:+.1f}%"
+    )
+    if jax.devices()[0].platform == "cpu" and n_dev > 1:
+        print(
+            "         (virtual CPU mesh: devices share one socket -> the"
+            " efficiency figure under-reports; overhead is the honest metric)"
+        )
+    print(
+        "config5_json: "
+        + json.dumps(
+            dict(
+                n_dev=n_dev,
+                batch=batch,
+                aggregate_solves_per_s=round(agg, 1),
+                single_dev_solves_per_s=round(single, 1),
+                scaling_efficiency=round(eff, 4),
+                sharding_overhead=round(overhead, 4),
+                n_ok=int(stats.n_ok),
+            )
+        )
+    )
+
+
+def config7(total=100_000, latent=16, layers=(64, 64, 64, 64)):
+    """>=100k-scenario sweep (BASELINE config 5 at size).
+
+    On the CPU mesh this is the correctness run (every scenario must return
+    status OK; chunked so the working set fits host RAM); on the chip it
+    binds the per-chip ceiling together with config8's max-HBM batch probe.
+    """
+    import jax
+
+    from __graft_entry__ import _build
+    from sdf_nmpc_tpu.parallel import make_batched_step, make_mesh, shard_batch
+
+    n_dev = len(jax.devices())
+    chunk = min(total, 4096 * max(1, n_dev))
+    n_chunks = (total + chunk - 1) // chunk
+    cfg, ocp, step, states, inputs = _build(latent=latent, batch=chunk,
+                                            layer_sizes=list(layers))
+    mesh = make_mesh()
+    bstep = make_batched_step(ocp, cfg, mesh=mesh)
+    states = shard_batch(states, mesh)
+    inputs = shard_batch(inputs, mesh)
+
+    # warmup/compile
+    _, stats = bstep(states, inputs)
+    _block(stats.n_ok)
+
+    done = ok = 0
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        results, stats = bstep(states, inputs)
+        ok += int(stats.n_ok)
+        done += chunk
+        states = jax.tree.map(lambda x: x, results.state)  # warm carry
+    dt_total = time.perf_counter() - t0
+    print(
+        f"config 7 (sweep {total}):    {done} scenario-solves in {dt_total:.1f} s "
+        f"-> {done / dt_total:8.0f} solves/s  (ok {ok}/{done}, "
+        f"{n_chunks} chunks of {chunk} on {n_dev} devices)"
+    )
+    assert ok == done, f"sweep had {done - ok} failed scenario solves"
 
 
 def main():
     picks = [int(a) for a in sys.argv[1:]] or [1, 2, 3, 4, 5]
-    fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5, 6: config1_ondevice}
+    fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5,
+           6: config1_ondevice, 7: config7}
     import jax
 
     print(f"# device(s): {[str(d) for d in jax.devices()][:4]} ...")

@@ -130,3 +130,124 @@ def check_accuracy():
         "n_ok": int((status == 0).sum()),
         "n_scen": N_SCEN,
     }
+
+
+# ---------------------------------------------------------------------------
+# fixed-state warm-tick testbed
+#
+# Closed-loop warm accuracy is not comparable across solver variants when each
+# variant follows its own closed-loop states (small u0 differences reshuffle
+# the trajectory).  The regression metric here replays CAPTURED warm states:
+# a CPU f64/40-iter RTI loop produces, per scenario and tick, the pre-tick
+# warm trajectory (X, U), the plant state x0, and the reference u0; every
+# variant then solves each captured tick from the identical state, so u0
+# differences measure solver accuracy alone (VERDICT r1 item 9b).
+# ---------------------------------------------------------------------------
+
+WARM_NPZ = REF_NPZ.parent / "warm_ref.npz"
+WARM_TICKS = 8
+WARM_SCEN = 16
+
+
+def _capture_warm_reference():
+    """CPU f64/40-iter closed loop; returns the captured tick tensors."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..solver import SolveInputs, init_state, make_rti_step
+    from ..solver.integrator import erk4
+
+    cfg, ocp, layout = build_setup(dict(dtype="float64", qp_iters=40))
+    step = jax.jit(jax.vmap(make_rti_step(ocp, cfg, with_evals=False)))
+    N = ocp.N
+    scen = build_scenarios(cfg, ocp, layout)[:WARM_SCEN]
+    x0s = np.stack([s[0] for s in scen])
+    ps = np.stack([s[1] for s in scen])
+    yrs = np.stack([s[2] for s in scen])
+    Ws = np.stack([s[3] for s in scen])
+
+    def inputs_for(x_now):
+        return SolveInputs(
+            x0=jnp.asarray(x_now, jnp.float64),
+            yref=jnp.asarray(np.tile(yrs[:, None], (1, N, 1)), jnp.float64),
+            W=jnp.asarray(np.tile(Ws[:, None], (1, N, 1)), jnp.float64),
+            yrefN=jnp.asarray(yrs[:, : ocp.nyN], jnp.float64),
+            WN=jnp.asarray(Ws[:, : ocp.nyN], jnp.float64),
+            p=jnp.asarray(ps, jnp.float64),
+        )
+
+    plant = jax.jit(jax.vmap(lambda x, u, dt: erk4(ocp.model.f, x, u, dt)))
+    dt_ctrl = float(cfg.mpc.control_loop_time) * 1e-3
+
+    states = jax.vmap(lambda x: init_state(ocp, x, jnp.float64))(
+        jnp.asarray(x0s, jnp.float64)
+    )
+    x_now = x0s.copy()
+    cap = {k: [] for k in ("X", "U", "x0", "u0_ref")}
+    for _ in range(WARM_TICKS):
+        cap["X"].append(np.asarray(states.X))
+        cap["U"].append(np.asarray(states.U))
+        cap["x0"].append(x_now.copy())
+        res = step(states, inputs_for(x_now))
+        assert int(np.asarray(res.status).sum()) == 0
+        cap["u0_ref"].append(np.asarray(res.u0))
+        states = res.state
+        x_now = np.asarray(
+            plant(jnp.asarray(x_now), res.u0, jnp.full(WARM_SCEN, dt_ctrl))
+        )
+    # (T, S, ...) -> (S, T, ...)
+    return {k: np.stack(v).swapaxes(0, 1) for k, v in cap.items()}
+
+
+def save_warm_reference():
+    """Capture the f64 warm-state reference -> tests/golden/warm_ref.npz."""
+    cap = _capture_warm_reference()
+    WARM_NPZ.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(WARM_NPZ, **cap)
+    return WARM_NPZ
+
+
+def check_warm_accuracy(solver_over=None, budget: str = "warm"):
+    """Replay every captured warm tick through the current backend/config.
+
+    solver_over: extra cfg.solver overrides (e.g. {"qp_iters_warm": 12}).
+    Returns dict(u0_max_err, u0_mean_err, n_ok, n_ticks)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..solver import SolveInputs, SolverState, make_rti_step
+
+    cap = np.load(WARM_NPZ)
+    cfg, ocp, layout = build_setup(solver_over)
+    step = jax.jit(jax.vmap(make_rti_step(ocp, cfg, with_evals=False, budget=budget)))
+    N = ocp.N
+    dt = jnp.float64 if str(cfg.solver.dtype) == "float64" else jnp.float32
+
+    scen = build_scenarios(cfg, ocp, layout)[:WARM_SCEN]
+    ps = np.stack([s[1] for s in scen])
+    yrs = np.stack([s[2] for s in scen])
+    Ws = np.stack([s[3] for s in scen])
+    S, T = cap["x0"].shape[:2]
+    flat = lambda a: a.reshape((S * T,) + a.shape[2:])
+    rep = lambda a: np.repeat(a, T, axis=0)  # per-scenario -> per-tick
+
+    states = SolverState(
+        X=jnp.asarray(flat(cap["X"]), dt), U=jnp.asarray(flat(cap["U"]), dt)
+    )
+    inputs = SolveInputs(
+        x0=jnp.asarray(flat(cap["x0"]), dt),
+        yref=jnp.asarray(rep(np.tile(yrs[:, None], (1, N, 1))), dt),
+        W=jnp.asarray(rep(np.tile(Ws[:, None], (1, N, 1))), dt),
+        yrefN=jnp.asarray(rep(yrs[:, : ocp.nyN]), dt),
+        WN=jnp.asarray(rep(Ws[:, : ocp.nyN]), dt),
+        p=jnp.asarray(rep(ps), dt),
+    )
+    res = step(states, inputs)
+    u0 = np.asarray(res.u0, np.float64)
+    err = np.abs(u0 - flat(cap["u0_ref"])).max(axis=1)
+    return {
+        "u0_max_err": float(err.max()),
+        "u0_mean_err": float(err.mean()),
+        "n_ok": int((np.asarray(res.status) == 0).sum()),
+        "n_ticks": int(S * T),
+    }
