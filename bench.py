@@ -39,10 +39,20 @@ def main():
     cfg, ocp, step, states, inputs = _build(cfg_overrides=overrides, batch=BATCH)
     vstep = jax.jit(jax.vmap(step))
 
+    # steady-state ticks use the warm iteration budget (cfg.solver.
+    # qp_iters_warm, measured by the fixed-state replay testbed) — the acados
+    # analogue is HPIPM early-exiting under primal warm start.  The first
+    # (cold-start) solve keeps the full cold budget.
+    from sdf_nmpc_tpu.solver import make_rti_step
+
+    vstep_warm = jax.jit(jax.vmap(make_rti_step(ocp, cfg, with_evals=False, budget="warm")))
+
     # warmup / compile
     t0 = time.perf_counter()
     res = vstep(states, inputs)
     res.u0.block_until_ready()
+    res_w = vstep_warm(res.state, inputs)
+    res_w.u0.block_until_ready()
     print(f"# compile+first step: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     n_ok = int(np.asarray(res.status == 0).sum())
     assert n_ok == BATCH, f"only {n_ok}/{BATCH} scenarios solved OK"
@@ -61,7 +71,7 @@ def main():
     states = res.state
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        res = vstep(states, inputs)
+        res = vstep_warm(states, inputs)
         states = res.state
     float(np.asarray(res.u0[0, 0]))
     t_total = time.perf_counter() - t0
@@ -94,8 +104,20 @@ def main():
         )
         record["u0_max_err"] = round(acc["u0_max_err"], 8)
         record["u0_mean_err"] = round(acc["u0_mean_err"], 8)
+        # warm-budget accuracy on the same hardware (the steady-state loop
+        # above runs the warm budget, so its correctness is part of the
+        # artifact): fixed-state replay vs the f64 golden states
+        warm = accuracy.check_warm_accuracy()
+        print(
+            f"# warm accuracy: u0 max {warm['u0_max_err']:.2e} mean "
+            f"{warm['u0_mean_err']:.2e} ({warm['n_ok']} ok)",
+            file=sys.stderr,
+        )
+        record["u0_warm_max_err"] = round(warm["u0_max_err"], 8)
         record["accuracy_ok"] = bool(
-            acc["u0_max_err"] <= 1e-3 and acc["n_ok"] == acc["n_scen"]
+            acc["u0_max_err"] <= 1e-3
+            and warm["u0_max_err"] <= 1e-3
+            and acc["n_ok"] == acc["n_scen"]
         )
     print(json.dumps(record))
 

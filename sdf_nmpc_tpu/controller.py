@@ -46,7 +46,14 @@ class Nmpc:
                             sdf_value_grad_batch=sdf_value_grad_batch)
         self.ocp = ocp
         self.model = ocp.model
-        self._step = jax.jit(make_rti_step(ocp, cfg))
+        # two-budget schedule (solver/sqp.py): the first tick after reset /
+        # set_x0 runs the cold iteration budget, subsequent warm-started RTI
+        # ticks the (smaller) cfg.solver.qp_iters_warm budget — the acados
+        # analogue is HPIPM early-exiting under primal warm start
+        # (reference ocp.py:113-116).  Two compiled programs; the host picks.
+        self._step_cold = jax.jit(make_rti_step(ocp, cfg))
+        self._step_warm = jax.jit(make_rti_step(ocp, cfg, budget="warm"))
+        self._warm_tick = False
         self._dtype = jnp.dtype(cfg.solver.dtype)
 
         lim = cfg.robot.limits
@@ -72,6 +79,7 @@ class Nmpc:
         self.WN = np.zeros(self.ocp.nyN)
         self.fail_count = 0
         self._solver_state = None
+        self._warm_tick = False
         self._u = np.zeros(self.ocp.nu)
         self._evals = None
         self._t = 0.0
@@ -121,6 +129,7 @@ class Nmpc:
                 self.ocp, x0, self._dtype,
                 dual_warm_start=bool(self.cfg.solver.get("dual_warm_start", False)),
             )
+            self._warm_tick = False  # fresh cold seed -> cold budget next solve
         self.x0 = x0
 
     def set_ref(self, ref, k: int):
@@ -154,12 +163,14 @@ class Nmpc:
             WN=jnp.asarray(self.WN, self._dtype),
             p=jnp.asarray(self.p, self._dtype),
         )
-        result = self._step(self._solver_state, inputs)
+        step = self._step_warm if self._warm_tick else self._step_cold
+        result = step(self._solver_state, inputs)
         status = int(result.status)
         if status != 1:  # NaN steps are rejected; others update the iterate
             self._solver_state = result.state
             self._u = np.asarray(result.u0)
             self._evals = None if result.evals is None else np.asarray(result.evals)
+            self._warm_tick = True  # the carried trajectory is now warm
         if status == 0:
             self.fail_count = 0
         else:

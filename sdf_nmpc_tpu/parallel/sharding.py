@@ -67,14 +67,16 @@ class BatchStats(NamedTuple):
 
 
 def make_batched_step(ocp: OcpSpec, cfg, mesh: Optional[Mesh] = None,
-                      with_evals: bool = False):
+                      with_evals: bool = False, budget: str = "cold"):
     """Jitted batched RTI step: (states[B], inputs[B]) -> (results[B], stats).
 
     With a mesh, the scenario axis is sharded across devices via NamedSharding
     constraints; stats reductions become cross-device collectives.  Per-node
     diagnostics default OFF in the batched path (they re-run the SDF network).
+    budget: QP iteration schedule ("cold"/"warm", solver/sqp.py) — batch
+    drivers hold one step per budget and pick per tick like Nmpc does.
     """
-    step = make_rti_step(ocp, cfg, with_evals=with_evals)
+    step = make_rti_step(ocp, cfg, with_evals=with_evals, budget=budget)
     vstep = jax.vmap(step)
 
     def batched(states: SolverState, inputs: SolveInputs):

@@ -407,7 +407,7 @@ def solve_qp(
         return _mu_of(qp, lh, uh, w, dz, sl, su, lam_l, lam_u, gam_l, gam_u,
                       nu_l, nu_u, n_terms)
 
-    def make_body(k_stiff_eff: int):
+    def make_body(k_stiff_eff: int, emit_dz: bool = False):
       def body(carry, it_idx):
         (dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u, mu,
          best_dz, best_m) = carry
@@ -714,7 +714,7 @@ def solve_qp(
             mu_min,
         )
         return (dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u, mu,
-                best_dz, best_m), None
+                best_dz, best_m), (dz if emit_dz else None)
 
       return body
 
@@ -726,17 +726,31 @@ def solve_qp(
     carry = (dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u, mu, dz, best0)
     n_stiff = min(stiff_iters if stiff_iters is not None else iters, iters)
     n_warm = iters - n_stiff if k_stiff > 0 else iters
+    dz_tail = None
     if n_warm > 0:
         carry, _ = jax.lax.scan(make_body(0), carry, jnp.arange(n_warm))
     if iters - n_warm > 0:
-        carry, _ = jax.lax.scan(
-            make_body(k_stiff), carry, jnp.arange(n_warm, iters)
+        carry, dz_tail = jax.lax.scan(
+            make_body(k_stiff, emit_dz=True), carry, jnp.arange(n_warm, iters)
         )
     (dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u, mu, best_dz, best_m) = carry
     # the scan scored iterates at body entry; score the final one here
     m_fin = _merit(qp, lh, uh, dz)
     best_dz = jnp.where(m_fin < best_m, dz, best_dz)
     dz = best_dz
+    if dz_tail is not None and dz_tail.shape[0] >= 4:
+        # tail-averaged iterate: near its floating-point floor the f32 IP
+        # WANDERS around the optimum instead of converging (f64 with the same
+        # code converges; docs/performance.md "acados LM convention" section).
+        # The wander is near-zero-mean, so the mean of the last stiff-phase
+        # iterates cancels most of it; the exact-penalty merit picks between
+        # the averaged point and the best single iterate, so this can never
+        # lose.  Ulp-level robustness matters: the wander pattern changes with
+        # platform rounding (CPU vs 8-virtual-device CPU vs MXU pass modes).
+        n_tail = min(8, dz_tail.shape[0])
+        dz_avg = jnp.mean(dz_tail[-n_tail:], axis=0)
+        m_avg = _merit(qp, lh, uh, dz_avg)
+        dz = jnp.where(m_avg < jnp.minimum(best_m, m_fin), dz_avg, dz)
 
     duals = QpDuals(sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u)
     # kkt reported on the IP iterate (pure IP convergence diagnostic, the

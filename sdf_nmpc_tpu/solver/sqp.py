@@ -141,6 +141,12 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True,
         qp_stiff_iters = cfg.solver.get("qp_stiff_iters_warm", qp_stiff_iters)
     elif budget != "cold":
         raise ValueError(f"unknown budget {budget!r}")
+    # qp_ratio_cap is an f32 remedy (mild-row bias at the f32 dtype
+    # default cap; docs/performance.md): f64 runs keep the dtype default
+    # so reference/golden solves stay uncapped
+    qp_ratio_cap = cfg.solver.get("qp_ratio_cap", None)
+    if jnp.dtype(cfg.solver.dtype) != jnp.float32:
+        qp_ratio_cap = None
     N, nx, nu = ocp.N, ocp.nx, ocp.nu
     nz = N * nu
     nh, nhN = ocp.nh, ocp.nhN
@@ -347,17 +353,7 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True,
 
         if use_riccati:
             # ---- stage-structured (Riccati) backend: no condensing ----
-            # e0-propagation only for the LM reference trajectory (the
-            # condensed path's lm*||dx - e||^2 penalty, see solver/qp_riccati)
             e0 = x0 - X[0]
-
-            def e_scan(e, xs):
-                A_k, d_k = xs
-                return A_k @ e + d_k, e
-
-            eN_r, e_stage_r = jax.lax.scan(e_scan, e0, (A, defect))
-            e_all_r = jnp.concatenate([e_stage_r, eN_r[None]], axis=0)
-
             Ws = W * scale[:N, None]
             Q_st = jnp.einsum("kni,kn,knj->kij", Jyx, Ws, Jyx)
             q_st = jnp.einsum("kni,kn->ki", Jyx, Ws * res)
@@ -368,10 +364,13 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True,
             S_st = jnp.einsum("knu,kn,kni->kui", Jyu, Ws, Jyx)
             QN_st = JxN.T @ (WN[:, None] * JxN)
             qN_st = JxN.T @ (WN * resN)
+            # acados LM convention: lm*I on the stage Hessians, NO linear term
+            # (the sparse QP is centered at the current iterate; see the
+            # condensed path's LM comment and tests/oracle_rti.py)
             Q_all = jnp.concatenate([Q_st, QN_st[None]], axis=0) + lm * jnp.eye(
                 nx, dtype=dtype
             )
-            q_all = jnp.concatenate([q_st, qN_st[None]], axis=0) - lm * e_all_r
+            q_all = jnp.concatenate([q_st, qN_st[None]], axis=0)
 
             sqd = StageQpData(
                 Q=Q_all, q=q_all, R=R_st, r=r_st, Ssu=S_st,
@@ -390,6 +389,7 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True,
                 box_margin=float(cfg.solver.box_margin),
                 k_stiff=int(cfg.solver.get("qp_stiff_k", 16)),
                 stiff_iters=qp_stiff_iters,
+                ratio_cap_override=qp_ratio_cap,
             )
             return _finish(X, U, rres.ddx, rres.ddu, rres.kkt_residual,
                            rres.complementarity, state.qp_duals, p)
@@ -454,8 +454,15 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True,
         GN = (JxN[:, :, None] * EN[None, :, :]).sum(1)  # (nyN, nz)
         resN_c = resN + JxN @ eN
 
-        # Levenberg-Marquardt rows: stage-wise lm*I on (x,u) blocks, condensed
+        # Levenberg-Marquardt rows: acados adds lm*I to every sparse-QP stage
+        # Hessian (the (dx_k, du_k) step blocks).  Exact condensing of the
+        # resulting 0.5*lm*||dx_k||^2 = 0.5*lm*||e_k + E_k dz||^2 keeps the
+        # linear term lm*E_k'e_k — so the LM rows carry residual e_k, not 0.
+        # (Dropping it would center the step penalty on the defect-propagated
+        # trajectory instead: up to 1.4e-1 u0 deviation from acados on cold
+        # starts — caught by the independent oracle, tests/oracle_rti.py.)
         E_all = jnp.concatenate([E_stage, EN[None]], axis=0)  # (N+1, nx, nz)
+        e_all = jnp.concatenate([e_stage, eN[None]], axis=0)  # (N+1, nx)
 
         M_rows = jnp.concatenate(
             [G.reshape(N * ny, nz), GN, E_all.reshape((N + 1) * nx, nz)], axis=0
@@ -467,7 +474,7 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True,
             [
                 (Ws * res_c).reshape(N * ny),
                 WN * resN_c,
-                jnp.zeros(((N + 1) * nx,), dtype),
+                lm * e_all.reshape((N + 1) * nx),
             ]
         )
         H = (M_rows.T * w_rows) @ M_rows + lm * jnp.eye(nz, dtype=dtype)
@@ -542,6 +549,12 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True,
                 k_stiff=int(cfg.solver.get("qp_stiff_k", 16)),
                 stiff_iters=qp_stiff_iters,
                 chol_impl=cfg.solver.get("chol_impl", "auto"),
+                ratio_cap_override=qp_ratio_cap,
+                compute_dtype=(
+                    jnp.dtype(cfg.solver.qp_compute_dtype)
+                    if cfg.solver.get("qp_compute_dtype", None)
+                    else None
+                ),
             )
         dz = qp_res.dz
 

@@ -49,8 +49,27 @@ def build_scenarios(cfg, ocp, layout):
     return out
 
 
-def build_setup(dtype_cfg=None):
-    """(cfg, ocp, layout) for the canonical accuracy workload."""
+def synthetic_bdist_coeffs(cfg):
+    """Deterministic non-trivial braking-distance polynomial for the rec-feas
+    oracle/parity fixtures: ~0.3 m constant + small velocity-dependent terms
+    (exercises the 3-variate polynomial Jacobian path)."""
+    from .. import math as m
+
+    n = m.polynomial_3variate_exponents(cfg.mpc.braking_dist.degree).shape[0]
+    coeffs = np.random.default_rng(1).normal(size=n) * 0.01
+    coeffs[0] += 0.3
+    return coeffs
+
+
+def build_setup(dtype_cfg=None, variant: str = "sdf"):
+    """(cfg, ocp, layout) for the canonical accuracy workloads.
+
+    variant: 'sdf'     -- neural-SDF constraint + FoV rows (BASELINE config 2)
+             'nosdf'   -- flags.enable_sdf=False (BASELINE config 1: pure
+                          waypoint tracking, box-bounded QP)
+             'recfeas' -- recursive_feasibility + stability terminal
+                          ingredients (gen_model.py:73-149)
+    """
     from ..config import default_config
     from ..nn import init_neural_df, make_sdf_fn
     from ..ocp import build_ocp
@@ -62,6 +81,12 @@ def build_setup(dtype_cfg=None):
         cfg = cfg.replace(solver=env_over)
     if dtype_cfg:
         cfg = cfg.replace(solver=dtype_cfg)
+
+    if variant == "nosdf":
+        cfg = cfg.replace(flags=dict(enable_sdf=False))
+        ocp = build_ocp(cfg)
+        return cfg, ocp, ParamLayout.from_cfg(cfg)
+
     module, params = init_neural_df(
         size_latent=LATENT, layer_sizes=(64, 64, 64, 64), seed=0
     )
@@ -73,23 +98,29 @@ def build_setup(dtype_cfg=None):
         vg = make_fused_sdf_vg(
             module, params, dtype=str(cfg.solver.get("sdf_fused_dtype", "f32"))
         )
-    ocp = build_ocp(cfg, sdf_fn=sdf_fn, sdf_max_df=1.0, sdf_value_grad_batch=vg)
+    kw = dict(sdf_fn=sdf_fn, sdf_max_df=1.0, sdf_value_grad_batch=vg)
+    if variant == "recfeas":
+        cfg = cfg.replace(flags=dict(recursive_feasibility=True, stability=True))
+        kw.update(bdist_coeffs=synthetic_bdist_coeffs(cfg), r_tilde=1.0)
+    elif variant != "sdf":
+        raise ValueError(f"unknown variant {variant!r}")
+    ocp = build_ocp(cfg, **kw)
     return cfg, ocp, ParamLayout.from_cfg(cfg)
 
 
-def solve_batch(dtype_cfg=None):
+def solve_batch(dtype_cfg=None, variant: str = "sdf", n: int = None):
     """Solve the 32 scenarios once; returns (u0 (32, nu), status (32,))."""
     import jax
     import jax.numpy as jnp
 
     from ..solver import SolveInputs, init_state, make_rti_step
 
-    cfg, ocp, layout = build_setup(dtype_cfg)
+    cfg, ocp, layout = build_setup(dtype_cfg, variant=variant)
     step = make_rti_step(ocp, cfg, with_evals=False)
     N = ocp.N
     dt = jnp.float64 if (dtype_cfg or {}).get("dtype") == "float64" else jnp.float32
 
-    scen = build_scenarios(cfg, ocp, layout)
+    scen = build_scenarios(cfg, ocp, layout)[: n or N_SCEN]
     x0s = np.stack([s[0] for s in scen])
     ps = np.stack([s[1] for s in scen])
     yrs = np.stack([s[2] for s in scen])
@@ -207,11 +238,17 @@ def save_warm_reference():
     return WARM_NPZ
 
 
-def check_warm_accuracy(solver_over=None, budget: str = "warm"):
+def check_warm_accuracy(solver_over=None, budget: str = "warm",
+                        skip_cold_tick: bool = True):
     """Replay every captured warm tick through the current backend/config.
 
     solver_over: extra cfg.solver overrides (e.g. {"qp_iters_warm": 12}).
-    Returns dict(u0_max_err, u0_mean_err, n_ok, n_ticks)."""
+    skip_cold_tick: exclude tick 0 from the error stats — tick 0 of every
+    captured scenario IS the cold start, which the controller solves with the
+    cold budget (solver/sqp.py budget="cold"); including it would score the
+    warm budget on a workload it never sees.  Tick 0 errors are still
+    reported separately as ``u0_max_err_tick0``.
+    Returns dict(u0_max_err, u0_mean_err, n_ok, n_ticks, u0_max_err_tick0)."""
     import jax
     import jax.numpy as jnp
 
@@ -244,10 +281,12 @@ def check_warm_accuracy(solver_over=None, budget: str = "warm"):
     )
     res = step(states, inputs)
     u0 = np.asarray(res.u0, np.float64)
-    err = np.abs(u0 - flat(cap["u0_ref"])).max(axis=1)
+    err = np.abs(u0 - flat(cap["u0_ref"])).max(axis=1).reshape(S, T)
+    warm = err[:, 1:] if skip_cold_tick else err
     return {
-        "u0_max_err": float(err.max()),
-        "u0_mean_err": float(err.mean()),
+        "u0_max_err": float(warm.max()),
+        "u0_mean_err": float(warm.mean()),
+        "u0_max_err_tick0": float(err[:, 0].max()),
         "n_ok": int((np.asarray(res.status) == 0).sum()),
-        "n_ticks": int(S * T),
+        "n_ticks": int(warm.size),
     }
