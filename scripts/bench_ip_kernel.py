@@ -48,7 +48,7 @@ def main():
     zn = jnp.ones((NZ, B), jnp.float32)
     state0 = (dz0, c1, c1, d1, d1, d1, d1, zn, zn,
               jnp.full((1, B), 0.1, jnp.float32), dz0,
-              jnp.full((1, B), np.inf, jnp.float32))
+              jnp.full((1, B), np.inf, jnp.float32), dz0)
     consts = dict(ratio_cap=8.4e5, mu_min=3.8e-6, p_floor=3.8e-8,
                   d_floor=1e-14, tau=0.995)
 

@@ -80,14 +80,15 @@ def _ip_phase_kernel(
     H_ref, C_ref, g_ref, c0_ref, lh_ref, uh_ref, z1_ref, z2_ref, lb_ref, ub_ref,
     # state in
     dz_ref, sl_ref, su_ref, ll_ref, lu_ref, gl_ref, gu_ref, nl_ref, nu_ref,
-    mu_ref, bdz_ref, bm_ref,
+    mu_ref, bdz_ref, bm_ref, dzs_ref,
     # state out
     dz_o, sl_o, su_o, ll_o, lu_o, gl_o, gu_o, nl_o, nu_o, mu_o, bdz_o, bm_o,
+    dzs_o,
     # scratch
     A_scr, X_scr, Cs_scr, Xs_scr, Lt_scr,
     *,
-    nz, nc, k_s, n_iters, it0, ratio_cap, mu_min, p_floor, d_floor, tau,
-    ablate="",
+    nz, nc, k_s, n_iters, it0, n_tail, ratio_cap, mu_min, p_floor, d_floor,
+    tau, ablate="",
 ):
     f32 = np.float32  # np scalars embed as Mosaic literals
     eps = f32(jnp.finfo(jnp.float32).eps)
@@ -111,6 +112,7 @@ def _ip_phase_kernel(
         (dz_ref, dz_o), (sl_ref, sl_o), (su_ref, su_o), (ll_ref, ll_o),
         (lu_ref, lu_o), (gl_ref, gl_o), (gu_ref, gu_o), (nl_ref, nl_o),
         (nu_ref, nu_o), (mu_ref, mu_o), (bdz_ref, bdz_o), (bm_ref, bm_o),
+        (dzs_ref, dzs_o),
     ):
         dst[...] = src[...]
 
@@ -405,6 +407,14 @@ def _ip_phase_kernel(
                 nl_n, nu_n),
          f32(mu_min),
      )[None, :]
+     if n_tail > 0:
+         # tail-iterate sum for the averaged-iterate rescue (solver/qp.py):
+         # near its fp floor the f32 IP wanders near-zero-mean around the
+         # optimum; the caller averages the last n_tail iterates and keeps
+         # the average iff its exact-penalty merit wins.  The select runs as
+         # a scalar weight so Mosaic lowers it as a broadcast multiply.
+         w_t = jnp.where(i >= n_iters - n_tail, f32(1.0), f32(0.0))
+         dzs_o[...] = dzs_o[...] + w_t * dz_n
 
      return 0
 
@@ -412,16 +422,18 @@ def _ip_phase_kernel(
 
 
 def ip_phase_lanes(data, state, k_s: int, n_iters: int, it0: int, consts,
-                   interpret: bool = False, ablate: str = ""):
+                   interpret: bool = False, ablate: str = "", n_tail: int = 0):
     """One fused IP PHASE (n_iters Mehrotra iterations in a single kernel
     launch) over a lanes-layout batch.
 
     data: (H (nz,nz,B), C (nc,nz,B), g, lb, ub (nz,B), c0, lh, uh, z1, z2
-    (nc,B)); state: 12-tuple (dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l,
-    nu_u (vectors), mu (1,B), best_dz (nz,B), best_m (1,B)) in the order
-    used by solver/qp.py; it0 = global index of the phase's first iteration
-    (the best-iterate gate excludes the zero-step initial point at index 0).
-    Returns the updated state tuple.
+    (nc,B)); state: 13-tuple (dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l,
+    nu_u (vectors), mu (1,B), best_dz (nz,B), best_m (1,B), dz_tail_sum
+    (nz,B)) in the order used by solver/qp.py; it0 = global index of the
+    phase's first iteration (the best-iterate gate excludes the zero-step
+    initial point at index 0).  n_tail > 0 accumulates the last n_tail
+    post-update iterates into dz_tail_sum (the tail-averaged-iterate rescue,
+    solver/qp.py).  Returns the updated state tuple.
     """
     H, C, g, c0, lh, uh, z1, z2, lb, ub = data
     nz = H.shape[0]
@@ -438,7 +450,7 @@ def ip_phase_lanes(data, state, k_s: int, n_iters: int, it0: int, consts,
     mat_c = pl.BlockSpec((nc, nz, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
 
     state_specs = [vec_z, vec_c, vec_c, vec_c, vec_c, vec_c, vec_c, vec_z,
-                   vec_z, vec_1, vec_z, vec_1]
+                   vec_z, vec_1, vec_z, vec_1, vec_z]
     state_shapes = [
         jax.ShapeDtypeStruct(s.shape, jnp.float32) for s in state
     ]
@@ -450,6 +462,7 @@ def ip_phase_lanes(data, state, k_s: int, n_iters: int, it0: int, consts,
         k_s=k_eff,
         n_iters=n_iters,
         it0=it0,
+        n_tail=n_tail,
         ratio_cap=consts["ratio_cap"],
         mu_min=consts["mu_min"],
         p_floor=consts["p_floor"],
@@ -602,21 +615,28 @@ def make_fused_solve(
             jnp.full((1, Bp), mu0, jnp.float32),  # mu
             bl2(dz),  # best_dz
             jnp.full((1, Bp), jnp.inf, jnp.float32),  # best_m
+            jnp.zeros((nz, Bp), jnp.float32),  # dz tail sum
         )
+
+        # tail-averaged-iterate rescue window (mirrors solver/qp.py: the
+        # last min(8, n_stiff) stiff-phase iterates, only once the stiff
+        # phase is long enough for an average to mean anything)
+        n_stiff = iters - n_warm
+        n_tail = min(8, n_stiff) if n_stiff >= 4 else 0
 
         if n_warm > 0:
             state = ip_phase_lanes(
                 data, state, 0, n_warm, 0, consts, interpret=_interp()
             )
-        if iters - n_warm > 0:
+        if n_stiff > 0:
             state = ip_phase_lanes(
-                data, state, k_stiff, iters - n_warm, n_warm, consts,
-                interpret=_interp(),
+                data, state, k_stiff, n_stiff, n_warm, consts,
+                interpret=_interp(), n_tail=n_tail,
             )
 
         lb2 = lambda x: jnp.moveaxis(x, -1, 0)[:B]  # lanes -> (B, ...)
         (dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u, mu, best_dz,
-         best_m) = [lb2(s) for s in state]
+         best_m, dz_tail_sum) = [lb2(s) for s in state]
         mu = mu[:, 0]
         best_m = best_m[:, 0]
         H, C, g, c0 = H[:B], C[:B], g[:B], c0[:B]
@@ -625,17 +645,28 @@ def make_fused_solve(
         )
 
         # ---- final-iterate merit + kkt (one-time, batched XLA) ----
-        Hdz = jnp.einsum("bij,bj->bi", H, dz)
-        w = c0 + jnp.einsum("bcz,bz->bc", C, dz)
-        vl = jnp.maximum(lh_c - w, 0.0)
-        vu = jnp.maximum(w - uh_c, 0.0)
-        m_fin = (
-            0.5 * jnp.einsum("bi,bi->b", dz, Hdz)
-            + jnp.einsum("bi,bi->b", g, dz)
-            + jnp.sum(z1 * (vl + vu) + 0.5 * z2 * (vl**2 + vu**2), axis=-1)
-        )
+        def _merit_b(z):
+            Hz = jnp.einsum("bij,bj->bi", H, z)
+            wz = c0 + jnp.einsum("bcz,bz->bc", C, z)
+            vl = jnp.maximum(lh_c - wz, 0.0)
+            vu = jnp.maximum(wz - uh_c, 0.0)
+            return (
+                0.5 * jnp.einsum("bi,bi->b", z, Hz)
+                + jnp.einsum("bi,bi->b", g, z)
+                + jnp.sum(z1 * (vl + vu) + 0.5 * z2 * (vl**2 + vu**2), axis=-1)
+            )
+
+        m_fin = _merit_b(dz)
         take = m_fin < best_m
         dz = jnp.where(take[:, None], dz, best_dz)
+        if n_tail > 0:
+            # tail-averaged iterate (solver/qp.py): the f32 IP's near-floor
+            # wander is near-zero-mean, so the tail mean cancels most of it;
+            # the exact-penalty merit gates it so this can never lose
+            dz_avg = dz_tail_sum / n_tail
+            m_avg = _merit_b(dz_avg)
+            take_avg = m_avg < jnp.minimum(best_m, m_fin)
+            dz = jnp.where(take_avg[:, None], dz_avg, dz)
 
         lam_l_r = jnp.minimum(lam_l, z1 + z2 * sl)
         lam_u_r = jnp.minimum(lam_u, z1 + z2 * su)
