@@ -39,8 +39,11 @@ def _setup(jax):
 
 def _flax_params():
     from sdf_nmpc_tpu.nn import init_neural_df
+    from sdf_nmpc_tpu.utils import accuracy
 
-    _, p = init_neural_df(size_latent=16, layer_sizes=(64, 64, 64, 64), seed=0)
+    _, p = init_neural_df(
+        size_latent=accuracy.LATENT, layer_sizes=list(accuracy.LAYERS), seed=0
+    )
     return p
 
 
