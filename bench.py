@@ -39,13 +39,15 @@ def main():
     cfg, ocp, step, states, inputs = _build(cfg_overrides=overrides, batch=BATCH)
     vstep = jax.jit(jax.vmap(step))
 
-    # steady-state ticks use the warm iteration budget (cfg.solver.
-    # qp_iters_warm, measured by the fixed-state replay testbed) — the acados
-    # analogue is HPIPM early-exiting under primal warm start.  The first
-    # (cold-start) solve keeps the full cold budget.
+    # steady-state ticks use the STEADY iteration budget (cfg.solver.
+    # qp_iters_steady, the third phase of the controller's cold/warm/steady
+    # schedule, each floor measured by the fixed-state replay testbed) — the
+    # acados analogue is HPIPM early-exiting under primal warm start.  The
+    # first (cold-start) solve keeps the full cold budget; the accuracy block
+    # below gates all three budgets on this same hardware.
     from sdf_nmpc_tpu.solver import make_rti_step
 
-    vstep_warm = jax.jit(jax.vmap(make_rti_step(ocp, cfg, with_evals=False, budget="warm")))
+    vstep_warm = jax.jit(jax.vmap(make_rti_step(ocp, cfg, with_evals=False, budget="steady")))
 
     # warmup / compile
     t0 = time.perf_counter()
@@ -104,20 +106,30 @@ def main():
         )
         record["u0_max_err"] = round(acc["u0_max_err"], 8)
         record["u0_mean_err"] = round(acc["u0_mean_err"], 8)
-        # warm-budget accuracy on the same hardware (the steady-state loop
-        # above runs the warm budget, so its correctness is part of the
-        # artifact): fixed-state replay vs the f64 golden states
-        warm = accuracy.check_warm_accuracy()
+        # warm- and steady-budget accuracy on the same hardware (the
+        # throughput loop above runs the steady budget; the controller serves
+        # ticks 1..steady_after with the warm budget): fixed-state replay vs
+        # the f64 golden states, each budget gated on the ticks it serves
+        sa = int(cfg.solver.get("steady_after", 3))
+        warm = accuracy.check_warm_accuracy(budget="warm")
+        steady = accuracy.check_warm_accuracy(budget="steady")
+        warm_max = max(warm["per_tick_max"][1 : sa + 1])
+        steady_max = max(steady["per_tick_max"][sa + 1 :])
         print(
-            f"# warm accuracy: u0 max {warm['u0_max_err']:.2e} mean "
-            f"{warm['u0_mean_err']:.2e} ({warm['n_ok']} ok)",
+            f"# warm accuracy (ticks 1..{sa}): u0 max {warm_max:.2e}; "
+            f"steady (ticks {sa + 1}+): u0 max {steady_max:.2e} "
+            f"({warm['n_ok']}+{steady['n_ok']} ok)",
             file=sys.stderr,
         )
-        record["u0_warm_max_err"] = round(warm["u0_max_err"], 8)
+        record["u0_warm_max_err"] = round(warm_max, 8)
+        record["u0_steady_max_err"] = round(steady_max, 8)
         record["accuracy_ok"] = bool(
             acc["u0_max_err"] <= 1e-3
-            and warm["u0_max_err"] <= 1e-3
+            and warm_max <= 1e-3
+            and steady_max <= 1e-3
             and acc["n_ok"] == acc["n_scen"]
+            and warm["n_ok"] == warm["n_solves"]
+            and steady["n_ok"] == steady["n_solves"]
         )
     print(json.dumps(record))
 

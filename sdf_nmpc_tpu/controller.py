@@ -46,14 +46,20 @@ class Nmpc:
                             sdf_value_grad_batch=sdf_value_grad_batch)
         self.ocp = ocp
         self.model = ocp.model
-        # two-budget schedule (solver/sqp.py): the first tick after reset /
+        # three-budget schedule (solver/sqp.py): the first tick after reset /
         # set_x0 runs the cold iteration budget, subsequent warm-started RTI
-        # ticks the (smaller) cfg.solver.qp_iters_warm budget — the acados
-        # analogue is HPIPM early-exiting under primal warm start
-        # (reference ocp.py:113-116).  Two compiled programs; the host picks.
+        # ticks the (smaller) cfg.solver.qp_iters_warm budget, and after
+        # cfg.solver.steady_after consecutive clean warm ticks the (smaller
+        # still) steady budget — the acados analogue is HPIPM early-exiting
+        # under primal warm start (reference ocp.py:113-116).  Three compiled
+        # programs; the host picks.  The replay testbed measures each floor
+        # (scripts/warm_testbed.py, docs/performance.md).
         self._step_cold = jax.jit(make_rti_step(ocp, cfg))
         self._step_warm = jax.jit(make_rti_step(ocp, cfg, budget="warm"))
+        self._step_steady = jax.jit(make_rti_step(ocp, cfg, budget="steady"))
+        self._steady_after = int(cfg.solver.get("steady_after", 3))
         self._warm_tick = False
+        self._clean_warm_ticks = 0
         self._dtype = jnp.dtype(cfg.solver.dtype)
 
         lim = cfg.robot.limits
@@ -80,6 +86,7 @@ class Nmpc:
         self.fail_count = 0
         self._solver_state = None
         self._warm_tick = False
+        self._clean_warm_ticks = 0
         self._u = np.zeros(self.ocp.nu)
         self._evals = None
         self._t = 0.0
@@ -163,14 +170,26 @@ class Nmpc:
             WN=jnp.asarray(self.WN, self._dtype),
             p=jnp.asarray(self.p, self._dtype),
         )
-        step = self._step_warm if self._warm_tick else self._step_cold
+        if not self._warm_tick:
+            step = self._step_cold
+        elif self._clean_warm_ticks >= self._steady_after:
+            step = self._step_steady
+        else:
+            step = self._step_warm
         result = step(self._solver_state, inputs)
         status = int(result.status)
         if status != 1:  # NaN steps are rejected; others update the iterate
             self._solver_state = result.state
             self._u = np.asarray(result.u0)
             self._evals = None if result.evals is None else np.asarray(result.evals)
-            self._warm_tick = True  # the carried trajectory is now warm
+        # only a clean solve leaves a trustworthy warm trajectory — a failed
+        # tick (NOT_CONVERGED / NaN) drops back to the cold budget, mirroring
+        # acados' warm start assuming a converged prior iterate
+        if status == 0:
+            self._clean_warm_ticks += 1 if self._warm_tick else 0
+        else:
+            self._clean_warm_ticks = 0
+        self._warm_tick = status == 0
         if status == 0:
             self.fail_count = 0
         else:

@@ -132,14 +132,25 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True,
                  fixed-shape solve cannot replicate dynamically); the warm
                  floor is measured by the fixed-state replay testbed
                  (scripts/warm_testbed.py, docs/performance.md).
+      "steady" -- cfg.solver.qp_iters_steady (+ qp_stiff_iters_steady) when
+                 set, else the warm budget.  The replay testbed shows the
+                 early post-cold ticks (1-3) dominate the warm error while
+                 steady ticks converge in noticeably fewer iterations; the
+                 controller promotes to this budget after
+                 cfg.solver.steady_after consecutive clean warm ticks.
     """
     dtype = jnp.dtype(cfg.solver.dtype)
     qp_iters = int(cfg.solver.qp_iters)
     qp_stiff_iters = cfg.solver.get("qp_stiff_iters", None)
-    if budget == "warm":
+    if budget in ("warm", "steady"):
         qp_iters = int(cfg.solver.get("qp_iters_warm", None) or qp_iters)
         qp_stiff_iters = cfg.solver.get("qp_stiff_iters_warm", qp_stiff_iters)
-    elif budget != "cold":
+    if budget == "steady":
+        qp_iters = int(cfg.solver.get("qp_iters_steady", None) or qp_iters)
+        qp_stiff_iters = cfg.solver.get(
+            "qp_stiff_iters_steady", qp_stiff_iters
+        )
+    if budget not in ("cold", "warm", "steady"):
         raise ValueError(f"unknown budget {budget!r}")
     # qp_ratio_cap is an f32 remedy (mild-row bias at the f32 dtype
     # default cap; docs/performance.md): f64 runs keep the dtype default
