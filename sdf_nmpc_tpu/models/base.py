@@ -53,6 +53,12 @@ class ModelSpec:
     # q_d (4, L)) -> (ny, L); lets the linearization kernel emit the cost
     # rows' Jacobians in the same fused pass.
     y_lanes: Optional[Callable] = None
+    # world-frame velocity extractor (x -> (3,)): the recursive-feasibility
+    # terminal ingredients hook here instead of assuming a state layout
+    # (the reference wires rec-feas generically through model hooks,
+    # gen_model.py:73-121).  None = model exposes no world velocity and
+    # cannot run recursive_feasibility.
+    vel_world: Optional[Callable] = None
 
 
 def terminal_gate_enabled(cfg) -> bool:

@@ -168,4 +168,6 @@ def make_model(cfg) -> ModelSpec:
         u_to_TRPYr=u_to_TRPYr,
         f_lanes=f_lanes,
         y_lanes=y_lanes,
+        # world-frame velocity (rec-feas hook; state layout p,q,v)
+        vel_world=lambda x: x[7:10],
     )

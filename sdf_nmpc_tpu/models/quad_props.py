@@ -140,6 +140,8 @@ def make_model(cfg) -> ModelSpec:
         ubu=np.ones(4),
         formate_ref=formate_ref,
         f_lanes=f_lanes,
+        # world-frame velocity (rec-feas hook; state layout p,q,v)
+        vel_world=lambda x: x[7:10],
         u_to_acc=u_to_acc,
         u_to_props=u_to_props,
     )

@@ -98,4 +98,6 @@ def make_model(cfg) -> ModelSpec:
         formate_ref=formate_ref,
         f_lanes=f_lanes,
         u_to_cmd=u_to_cmd,
+        # world-frame velocity (rec-feas hook): state v is BODY-frame here
+        vel_world=lambda x: m.quat2rot(x[3:7] / jnp.linalg.norm(x[3:7])) @ x[7:10],
     )

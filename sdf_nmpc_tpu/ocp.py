@@ -278,19 +278,24 @@ def build_ocp(
             if not cfg.flags.recursive_feasibility:
                 h_rows_term.append((sdf_flagged, sdf_bounds[0], sdf_bounds[1], df_z1, df_z2))
 
-        ## recursive feasibility terminal ingredients (gen_model.py:73-121)
+        ## recursive feasibility terminal ingredients (gen_model.py:73-121).
+        ## Wired through the model's vel_world hook (not a hard-coded state
+        ## layout), mirroring how the reference composes them through model
+        ## hooks — any model exposing a world-frame velocity qualifies.
         if cfg.flags.recursive_feasibility:
-            assert cfg.mpc.model == "att", (
-                "recursive feasibility and stability implemented only for 'att'"
+            assert model.vel_world is not None, (
+                "recursive feasibility needs a model exposing world-frame "
+                "velocity (ModelSpec.vel_world)"
             )
             assert bdist_coeffs is not None, "recursive_feasibility requires bdist_coeffs"
             bdist_poly, _ = m.polynomial_3variate(cfg.mpc.braking_dist.degree, bdist_coeffs)
+            vel_w = model.vel_world
 
             def braking_dist_flag(x, p):
-                return layout.get_flag(p) * bdist_poly(x[7:10])
+                return layout.get_flag(p) * bdist_poly(vel_w(x))
 
             def braking_dist_raw(x, p):
-                return bdist_poly(x[7:10])
+                return bdist_poly(vel_w(x))
 
             def rec_feas(x, p):
                 return sdf_flagged(x, p) - braking_dist_flag(x, p)
@@ -298,7 +303,7 @@ def build_ocp(
             def braking_endpoint(x, p):
                 """Camera-frame position of the braking stop point Co_p_E
                 (gen_model.py:107-114)."""
-                v = x[7:]
+                v = vel_w(x)
                 smooth_norm = jnp.sqrt(jnp.dot(v, v) + 1e-4)
                 W_p_E = x[:3] + braking_dist_raw(x, p) * v / smooth_norm
                 W_R_Co = layout.get_W_R_Co(p)
@@ -362,7 +367,9 @@ def build_ocp(
                 p_term = max(r_tilde + max_vel_error, sc_max / ab_min**2 / dt_stab**2)
 
                 cost_rows_term.append(
-                    lambda x, p: layout.get_flag(p) * jnp.dot(x[7:], x[7:])
+                    # ||v||^2 is rotation-invariant, so the raw velocity
+                    # states serve body- and world-frame models alike
+                    lambda x, p: layout.get_flag(p) * jnp.dot(x[7:10], x[7:10])
                 )
                 cost_w_term.append(float(p_term))
 

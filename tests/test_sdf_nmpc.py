@@ -151,6 +151,37 @@ def test_recursive_feasibility_and_stability_build(sdf_setup):
     assert np.all(np.isfinite(np.asarray(res.state.U)))
 
 
+@pytest.mark.parametrize("model_name,nx", [("props", 13), ("rates", 10)])
+def test_recursive_feasibility_other_models(sdf_setup, model_name, nx):
+    """rec-feas is wired through ModelSpec.vel_world (not an att-only state
+    assumption): a world-frame-v model (props) and a BODY-frame-v model
+    (rates, velocity rotated by the state quaternion) both build and solve
+    (reference wires it generically through model hooks, gen_model.py:73-121)."""
+    cfg, sdf_fn = sdf_setup
+    cfg2 = cfg.replace(
+        mpc=dict(model=model_name),
+        flags=dict(recursive_feasibility=True, stability=False),
+    )
+    n_coeff = polynomial_3variate_exponents(cfg.mpc.braking_dist.degree).shape[0]
+    coeffs = np.zeros(n_coeff)
+    coeffs[0] = 0.3
+    ocp = build_ocp(cfg2, sdf_fn=sdf_fn, sdf_max_df=1.0, bdist_coeffs=coeffs)
+    assert ocp.nx == nx
+    # terminal rows: hfov, vfov, rec-feas + brake-endpoint fovs
+    assert ocp.nhN == 2 + 1 + 2
+    x0 = np.zeros(nx)
+    x0[3] = 1.0
+    x0[7] = 0.5  # moving: the braking-endpoint rows see a non-trivial v
+    step = jax.jit(make_rti_step(ocp, cfg2))
+    st = init_state(ocp, x0, jnp.float64)
+    res = step(st, build_inputs(cfg2, ocp, x0, flag=1.0))
+    assert int(res.status) == 0
+    assert np.all(np.isfinite(np.asarray(res.state.U)))
+    # vel_world: world == body rotated for identity attitude; sanity on values
+    vw = np.asarray(ocp.model.vel_world(jnp.asarray(x0)))
+    np.testing.assert_allclose(vw, [0.5, 0.0, 0.0], atol=1e-12)
+
+
 def test_batched_vmap_sdf_solve(sdf_setup):
     """Scenario axis: vmapped solves with different x0/latents (config 4 shape)."""
     cfg, sdf_fn = sdf_setup
