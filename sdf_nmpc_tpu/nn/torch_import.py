@@ -8,9 +8,11 @@ modules of this package so users can carry trained weights over:
   * Mlp       — exact
   * Encoder   — exact, including the NCHW->NHWC kernel transposes and the
                 flatten-order permutation of the mean/logvar heads
-  * Decoder   — not supported (torch ConvTranspose2d output_padding has no
-                weight-compatible flax twin); the decoder is OPC-side viz only
-                (reference vae.py:42) — retrain or keep torch for display.
+  * Decoder   — exact: the flax decoder's ConvTransposeTorch (resnet.py)
+                reproduces torch ConvTranspose2d semantics
+                (stride/padding/output_padding) bit-for-bit given the
+                spatially-flipped io-swapped kernels produced here
+                (covers the OPC-side viz path, reference vae.py:42-45)
 
 Import is host-side numpy; no torch dependency unless actually called.
 """
@@ -30,6 +32,18 @@ def _linear(sd, prefix):
 
 def _conv(sd, prefix, with_bias=True):
     out = {"kernel": _t(sd[f"{prefix}.weight"]).transpose(2, 3, 1, 0)}  # OIHW->HWIO
+    if with_bias and f"{prefix}.bias" in sd:
+        out["bias"] = _t(sd[f"{prefix}.bias"])
+    return out
+
+
+def _deconv(sd, prefix, with_bias=True):
+    """torch ConvTranspose2d weight (I, O, kh, kw) -> the (kh, kw, I, O)
+    already-flipped kernel ConvTransposeTorch stores (resnet.py): transposed
+    convolution == dilated cross-correlation with the spatially-flipped
+    io-swapped kernel."""
+    w = _t(sd[f"{prefix}.weight"])  # (I, O, kh, kw)
+    out = {"kernel": w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1).copy()}
     if with_bias and f"{prefix}.bias" in sd:
         out["bias"] = _t(sd[f"{prefix}.bias"])
     return out
@@ -115,6 +129,60 @@ def import_encoder(state_dict, use_batchnorm=True) -> dict:
             stats[f"ResBlock_{i}"] = s
     params["mean"] = _permute_flatten_head(_linear(sd, "layers.mean"))
     params["logvar"] = _permute_flatten_head(_linear(sd, "layers.logvar"))
+    out = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out
+
+
+def _resblock_deconv(sd, prefix, use_batchnorm, stride):
+    """Flax ResBlockDeconv params/batch_stats from a torch ResBlockDeconv
+    (reference resnet.py:76-103: layers.{0 deconv, 1 bn/Id, 3 deconv, 4
+    bn/Id}, shortcut.{0 deconv, 1 bn-always})."""
+    params, stats = {}, {}
+    for j, idx in enumerate([0, 3]):
+        params[f"ConvTransposeTorch_{j}"] = _deconv(
+            sd, f"{prefix}.layers.{idx}", with_bias=not use_batchnorm
+        )
+        if use_batchnorm:
+            p, s = _bn(sd, f"{prefix}.layers.{idx + 1}")
+            params[f"BatchNorm_{j}"] = p
+            stats[f"BatchNorm_{j}"] = s
+    if stride != 1:
+        params["ConvTransposeTorch_2"] = _deconv(
+            sd, f"{prefix}.shortcut.0", with_bias=not use_batchnorm
+        )
+        if use_batchnorm:
+            p, s = _bn(sd, f"{prefix}.shortcut.1")
+            params["BatchNorm_2"] = p
+            stats["BatchNorm_2"] = s
+    return params, stats
+
+
+def _permute_unflatten_head(linear, C=512, H=8, W=15):
+    """Reorder a Linear that feeds a torch (C,H,W) Unflatten to feed the flax
+    NHWC reshape instead: torch output index c*H*W + h*W + w -> flax output
+    index (h*W + w)*C + c."""
+    k = linear["kernel"]  # (L, C*H*W)
+    k = k.reshape(-1, C, H * W).transpose(0, 2, 1).reshape(-1, H * W * C)
+    b = linear["bias"].reshape(C, H * W).T.reshape(H * W * C)
+    return {"kernel": k, "bias": b}
+
+
+def import_decoder(state_dict, use_batchnorm=True, unflatten_hw=(8, 15)) -> dict:
+    """Flax params+batch_stats for nn.vae.Decoder from a reference Decoder
+    state_dict (reference vae.py:63-90 layout: layers.resnet.{0 Linear,
+    4..7 ResBlockDeconv, 8 ConvTranspose2d})."""
+    sd = {k.removeprefix("decoder."): v for k, v in dict(state_dict).items()}
+    H, W = unflatten_hw
+    params = {"Dense_0": _permute_unflatten_head(_linear(sd, "layers.resnet.0"), H=H, W=W)}
+    stats = {}
+    for i, idx in enumerate([4, 5, 6, 7]):
+        p, s = _resblock_deconv(sd, f"layers.resnet.{idx}", use_batchnorm, 2)
+        params[f"ResBlockDeconv_{i}"] = p
+        if s:
+            stats[f"ResBlockDeconv_{i}"] = s
+    params["ConvTransposeTorch_0"] = _deconv(sd, "layers.resnet.8")
     out = {"params": params}
     if stats:
         out["batch_stats"] = stats

@@ -19,7 +19,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .resnet import ResBlock, ResBlockDeconv
+from .resnet import ConvTransposeTorch, ResBlock, ResBlockDeconv
 
 
 def adaptive_avg_pool2d(x, out_hw=(2, 2)):
@@ -87,19 +87,22 @@ class Decoder(nn.Module):
     shape_imgs: Sequence[int] = (1, 270, 480)  # (C, H, W) reference layout
     dropout_rate: float = 0.1
     batchnorm: bool = True
+    unflatten_hw: Sequence[int] = (8, 15)  # reference vae.py:75 hardcodes (8, 15)
 
     @nn.compact
     def __call__(self, z, train: bool = False):
         """z: (B, L) -> (B, H, W, 1)."""
-        x = nn.elu(nn.Dense(512 * 8 * 15)(z))
-        x = x.reshape(z.shape[0], 8, 15, 512)
+        uh, uw = self.unflatten_hw
+        x = nn.elu(nn.Dense(512 * uh * uw)(z))
+        x = x.reshape(z.shape[0], uh, uw, 512)
         if self.dropout_rate:
             x = nn.Dropout(self.dropout_rate)(x, deterministic=not train)
         for ch in (512, 256, 128, 64):
-            x = ResBlockDeconv(ch, 2, use_batchnorm=self.batchnorm, dropout_rate=self.dropout_rate)(
-                x, train
-            )
-        x = nn.ConvTranspose(self.nb_chan, (5, 5), padding=2)(x)
+            x = ResBlockDeconv(
+                ch, 2, use_batchnorm=self.batchnorm,
+                dropout_rate=self.dropout_rate, output_padding=1,
+            )(x, train)
+        x = ConvTransposeTorch(self.nb_chan, (5, 5), padding=2)(x)
         H, W = self.shape_imgs[-2], self.shape_imgs[-1]
         x = jax.image.resize(x, (x.shape[0], H, W, x.shape[-1]), method="bilinear")
         return nn.sigmoid(x)

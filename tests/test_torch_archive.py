@@ -15,6 +15,7 @@ import pytest
 
 from sdf_nmpc_tpu.nn import Encoder, NeuralDF, PositionEmbedding
 from sdf_nmpc_tpu.nn.torch_import import (
+    import_decoder,
     import_encoder,
     import_neural_df,
     load_torchscript_state_dict,
@@ -99,8 +100,7 @@ class _RefResBlock(torch.nn.Module):
 
 
 class _RefResBlockDeconv(torch.nn.Module):
-    """Reference ResBlockDeconv shape (resnet.py:59+), present in the archive
-    so the decoder keys exist (decoder import is unsupported by design)."""
+    """Reference ResBlockDeconv shape (resnet.py:59+)."""
 
     def __init__(self, size_in, stride, use_batchnorm=True):
         super().__init__()
@@ -230,3 +230,19 @@ def test_vae_jit_archive_roundtrip(tmp_path):
         theirs = tvae.encoder(torch.tensor(x)).numpy()
     ours = np.asarray(module.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1))))
     np.testing.assert_allclose(ours, theirs, atol=2e-4)
+
+    # DECODER import from the same archive (the OPC-side set_latent/decode
+    # viz path, reference vae.py:42-45): torch ConvTranspose2d semantics are
+    # reproduced exactly by ConvTransposeTorch given the flipped kernels
+    from sdf_nmpc_tpu.nn import Decoder
+
+    dec_vars = import_decoder(sd, use_batchnorm=True, unflatten_hw=(2, 2))
+    dec = Decoder(1, 8, shape_imgs=(1, *shape), dropout_rate=0.0,
+                  batchnorm=True, unflatten_hw=(2, 2))
+    z = np.random.default_rng(2).normal(size=(3, 8)).astype(np.float32)
+    with torch.no_grad():
+        theirs_img = tvae.decoder(torch.tensor(z)).numpy()  # NCHW
+    ours_img = np.asarray(dec.apply(dec_vars, jnp.asarray(z)))  # NHWC
+    np.testing.assert_allclose(
+        ours_img.transpose(0, 3, 1, 2), theirs_img, atol=2e-5
+    )
