@@ -38,25 +38,32 @@ def _setup(jax):
 
 
 def _flax_params():
-    from sdf_nmpc_tpu.nn import init_neural_df
     from sdf_nmpc_tpu.utils import accuracy
 
-    _, p = init_neural_df(
-        size_latent=accuracy.LATENT, layer_sizes=list(accuracy.LAYERS), seed=0
-    )
-    return p
+    return accuracy.sdf_net()[1]  # trained checkpoint when present, else seed-0
 
 
-def _oracle_u0(variant, n, lm_convention="acados", verbose=True):
+def _sdf_kw():
+    """NeuralDF hyperparameter VALUES for the oracle (embed mode, w0, freqs)
+    — taken from the workload's module definition, not its code."""
+    from sdf_nmpc_tpu.utils import accuracy
+
+    mod = accuracy.sdf_net()[0]
+    return dict(sdf_proj=mod.embed, sdf_w0=mod.w0, sdf_nb_freqs=mod.nb_freqs)
+
+
+def _oracle_u0(variant, n, lm_convention="acados", verbose=True, model=None):
     import oracle_rti as orc
 
     from sdf_nmpc_tpu.utils import accuracy
 
-    cfg, ocp, layout = accuracy.build_setup(variant=variant)
+    cfg, ocp, layout = accuracy.build_setup(variant=variant, model=model)
     scen = accuracy.build_scenarios(cfg, ocp, layout)[:n]
     kw = {}
     if variant == "recfeas":
         kw["bdist_coeffs"] = accuracy.synthetic_bdist_coeffs(cfg)
+    if variant != "nosdf":
+        kw.update(_sdf_kw())
     oc = orc.build_oracle_ocp(
         cfg,
         flax_params=None if variant == "nosdf" else _flax_params(),
@@ -102,14 +109,66 @@ def main():
 
     if mode == "ref":
         out = {}
-        for variant, n in (("sdf", 32), ("nosdf", 32), ("recfeas", 8)):
-            u0s, opts = _oracle_u0(variant, n)
-            out[f"{variant}_u0"] = u0s
-            out[f"{variant}_opt"] = opts
-            print(f"{variant}: {n} scenarios, worst qp optimality {opts.max():.1e}")
+        if GOLD.exists():  # incremental: keep keys not regenerated this run
+            out.update({k: v for k, v in np.load(GOLD).items()})
+        for key, variant, model, n in (
+            ("sdf", "sdf", None, 32),
+            ("nosdf", "nosdf", None, 32),
+            ("recfeas", "recfeas", None, 8),
+            # second independently-checked model family (VERDICT r2 item 3):
+            # att_tau = first-order attitude lag + euler-rate map
+            ("tau", "sdf", "att_tau", 8),
+        ):
+            u0s, opts = _oracle_u0(variant, n, model=model)
+            out[f"{key}_u0"] = u0s
+            out[f"{key}_opt"] = opts
+            print(f"{key}: {n} scenarios, worst qp optimality {opts.max():.1e}")
         GOLD.parent.mkdir(parents=True, exist_ok=True)
         np.savez(GOLD, **out)
         print(f"oracle goldens -> {GOLD}")
+        return
+
+    if mode == "tau":
+        # regenerate only the att_tau keys (cheap incremental add)
+        out = {k: v for k, v in np.load(GOLD).items()}
+        u0s, opts = _oracle_u0("sdf", 8, model="att_tau")
+        out["tau_u0"], out["tau_opt"] = u0s, opts
+        np.savez(GOLD, **out)
+        print(f"tau: worst qp optimality {opts.max():.1e} -> {GOLD}")
+        return
+
+    if mode == "warm":
+        # oracle ticks from the CAPTURED warm states (tests/golden/
+        # warm_ref.npz): feed each (X, U, x0) into rti_tick and pin the
+        # oracle's u0 — closes the last self-referential golden (the warm
+        # u0_ref was previously validated only against the framework itself)
+        import oracle_rti as orc
+
+        cap = np.load(GOLD.parent / "warm_ref.npz")
+        cfg, ocp, layout = accuracy.build_setup()
+        scen = accuracy.build_scenarios(cfg, ocp, layout)
+        oc = orc.build_oracle_ocp(cfg, flax_params=_flax_params(), sdf_max_df=1.0,
+                                  **_sdf_kw())
+        scen_idx = list(range(0, accuracy.WARM_SCEN, 2))  # 8 of 16 scenarios
+        tick_idx = [1, 4, 7]  # early-warm, mid, steady
+        u0 = np.zeros((len(scen_idx), len(tick_idx), 4))
+        gap = np.zeros((len(scen_idx), len(tick_idx)))
+        for a, s in enumerate(scen_idx):
+            _, p, yr, W = scen[s]
+            for b, t in enumerate(tick_idx):
+                r = orc.rti_tick(
+                    oc, cap["x0"][s, t], p, yr, W, lm_convention="acados",
+                    X=cap["X"][s, t], U=cap["U"][s, t],
+                )
+                u0[a, b] = r["u0"]
+                gap[a, b] = np.abs(r["u0"] - cap["u0_ref"][s, t]).max()
+                print(f"  scen {s} tick {t}: oracle-vs-capture {gap[a, b]:.2e}",
+                      flush=True)
+        np.savez(
+            GOLD.parent / "oracle_warm_u0.npz",
+            u0=u0, scen_idx=np.asarray(scen_idx), tick_idx=np.asarray(tick_idx),
+        )
+        print(f"worst oracle-vs-capture gap {gap.max():.2e} -> oracle_warm_u0.npz")
         return
 
     raise SystemExit(f"unknown mode {mode!r}")

@@ -32,14 +32,44 @@ LATENT = 128
 LAYERS = (256, 256, 256, 256)
 
 
+def sdf_net():
+    """(module, variables) for the workload's NeuralDF: the trained
+    production checkpoint (weights/, scripts/train_latent_sdf.py --prod) when
+    its architecture matches LATENT/LAYERS, else the pinned seed-0 random
+    init.  The goldens (accuracy_ref/warm_ref/oracle_u0) are regenerated
+    whenever this choice changes."""
+    from ..nn import init_neural_df
+    from ..nn.weights import load_prod_sdf
+
+    loaded = load_prod_sdf(require_latent=LATENT, require_layers=LAYERS)
+    if loaded is not None:
+        return loaded
+    return init_neural_df(size_latent=LATENT, layer_sizes=list(LAYERS), seed=0)
+
+
+def _scenario_latents():
+    """(N_SCEN, LATENT) encoded-scene latents from the trained checkpoint
+    when present (realistic activation magnitudes), else None (the seeded
+    gaussian draw inside build_scenarios keeps its original rng stream so the
+    random-init goldens stay stable)."""
+    from ..nn.weights import load_prod_latents, load_prod_sdf
+
+    if load_prod_sdf(require_latent=LATENT, require_layers=LAYERS) is not None:
+        lat = load_prod_latents()
+        if lat is not None and lat.shape[0] >= N_SCEN and lat.shape[1] == LATENT:
+            return np.asarray(lat[:N_SCEN], np.float64)
+    return None
+
+
 def build_scenarios(cfg, ocp, layout):
     """(x0, p, yref_row, W_row) per scenario — hard random cold starts."""
     from ..ref_gen import Ref
 
     rng = np.random.default_rng(0)
+    lats = _scenario_latents()
     N = ocp.N
     out = []
-    for _ in range(N_SCEN):
+    for i in range(N_SCEN):
         x0 = np.zeros(10)
         x0[3] = 1.0
         x0[:3] = rng.normal(size=3) * 0.5
@@ -48,7 +78,8 @@ def build_scenarios(cfg, ocp, layout):
         layout.set_flag(p, 1.0)
         layout.set_camera(p, np.zeros(3), np.eye(3))
         layout.set_q_d(p, [1, 0, 0, 0])
-        layout.set_latent(p, rng.normal(size=LATENT) * 0.2)
+        lat_i = rng.normal(size=LATENT) * 0.2  # keep the stream position
+        layout.set_latent(p, lats[i] if lats is not None else lat_i)
         ref = Ref(cfg).use_constrained_weights(False)
         ref.p = rng.normal(size=3) * 1.5
         yr, W = ocp.pack_ref(ref)
@@ -68,7 +99,7 @@ def synthetic_bdist_coeffs(cfg):
     return coeffs
 
 
-def build_setup(dtype_cfg=None, variant: str = "sdf"):
+def build_setup(dtype_cfg=None, variant: str = "sdf", model: str = None):
     """(cfg, ocp, layout) for the canonical accuracy workloads.
 
     variant: 'sdf'     -- neural-SDF constraint + FoV rows (BASELINE config 2)
@@ -76,6 +107,8 @@ def build_setup(dtype_cfg=None, variant: str = "sdf"):
                           waypoint tracking, box-bounded QP)
              'recfeas' -- recursive_feasibility + stability terminal
                           ingredients (gen_model.py:73-149)
+    model: cfg.mpc.model override (None = the default 'att'); the oracle
+    covers 'att_tau' as a second independently-checked formulation.
     """
     from ..config import default_config
     from ..nn import init_neural_df, make_sdf_fn
@@ -83,6 +116,8 @@ def build_setup(dtype_cfg=None, variant: str = "sdf"):
     from ..params import ParamLayout
 
     cfg = default_config().replace(nn=dict(size_latent=LATENT))
+    if model is not None:
+        cfg = cfg.replace(mpc=dict(model=model))
     env_over = json.loads(os.environ.get("BENCH_SOLVER_OVERRIDES", "null"))
     if env_over:
         cfg = cfg.replace(solver=env_over)
@@ -94,9 +129,7 @@ def build_setup(dtype_cfg=None, variant: str = "sdf"):
         ocp = build_ocp(cfg)
         return cfg, ocp, ParamLayout.from_cfg(cfg)
 
-    module, params = init_neural_df(
-        size_latent=LATENT, layer_sizes=list(LAYERS), seed=0
-    )
+    module, params = sdf_net()
     sdf_fn = make_sdf_fn(module, params)
     vg = None
     if bool(cfg.solver.get("fused_sdf", True)):
@@ -115,14 +148,15 @@ def build_setup(dtype_cfg=None, variant: str = "sdf"):
     return cfg, ocp, ParamLayout.from_cfg(cfg)
 
 
-def solve_batch(dtype_cfg=None, variant: str = "sdf", n: int = None):
+def solve_batch(dtype_cfg=None, variant: str = "sdf", n: int = None,
+                model: str = None):
     """Solve the 32 scenarios once; returns (u0 (32, nu), status (32,))."""
     import jax
     import jax.numpy as jnp
 
     from ..solver import SolveInputs, init_state, make_rti_step
 
-    cfg, ocp, layout = build_setup(dtype_cfg, variant=variant)
+    cfg, ocp, layout = build_setup(dtype_cfg, variant=variant, model=model)
     step = make_rti_step(ocp, cfg, with_evals=False)
     N = ocp.N
     dt = jnp.float64 if (dtype_cfg or {}).get("dtype") == "float64" else jnp.float32

@@ -133,6 +133,60 @@ def erk4(f, x, u, dt):
     return x + dt / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
 
 
+# ---------------------------------------------------------------------------
+# att_tau model (reference model/quad_rollpitchyawrate_tau.py:19-59): same
+# state/interface as att, but commanded roll/pitch act through a first-order
+# lag tau=0.12 s with the euler-rate -> body-rate map of reference
+# math.py:210-231 (its exact matrix entries, quirks included), and thrust
+# acts along the CURRENT attitude (full quat2rot, not the yaw decomposition)
+# ---------------------------------------------------------------------------
+
+_TAU_RP = 0.12
+
+
+def _quat2euler_rp(q):
+    """Reference quat2euler roll/pitch rows (math.py:57-70)."""
+    roll = torch.atan2(2 * (q[0] * q[1] + q[2] * q[3]), 1 - 2 * (q[1] * q[1] + q[2] * q[2]))
+    pitch = torch.asin(2 * (q[0] * q[2] - q[3] * q[1]))
+    return roll, pitch
+
+
+def att_tau_f(x, u, lim):
+    _, q, v = _split_norm(x)
+    gamma = u[0] * lim["gamma"]
+    roll_des = u[1] * lim["roll"]
+    pitch_des = u[2] * lim["pitch"]
+    wz = u[3] * lim["wz"]
+    roll, pitch = _quat2euler_rp(q)
+    W_R_B = _quat2rot(q)
+    W_a = W_R_B @ torch.stack([0 * gamma, 0 * gamma, gamma]) + torch.tensor(
+        [0.0, 0.0, -GRAVITY], dtype=q.dtype
+    )
+    dr = (roll_des - roll) / _TAU_RP
+    dp = (pitch_des - pitch) / _TAU_RP
+    # w = deuler_avel_map(eta) @ (dr, dp, 0) — reference matrix rows verbatim
+    w0 = dr + torch.sin(pitch) * torch.sin(roll) / torch.cos(pitch) * dp
+    w1 = torch.cos(roll) * dp
+    dq = _hamilton(q, torch.stack([0 * wz, w0, w1, wz])) / 2
+    return torch.cat([v, dq, W_a])
+
+
+def att_tau_y(x, u, q_d, lim):
+    """Stage residual (reference quad_rollpitchyawrate_tau.py:55): same
+    layout as att but W_a[2] along the current attitude."""
+    pos, q, v = _split_norm(x)
+    gamma = u[0] * lim["gamma"]
+    roll_des = u[1] * lim["roll"]
+    pitch_des = u[2] * lim["pitch"]
+    wz = u[3] * lim["wz"]
+    q_inv = q * torch.tensor([1.0, -1, -1, -1], dtype=q.dtype) / torch.linalg.norm(q)
+    q_e = _hamilton(q_d, q_inv)
+    W_a = _quat2rot(q) @ torch.stack([0 * gamma, 0 * gamma, gamma]) + torch.tensor(
+        [0.0, 0.0, -GRAVITY], dtype=q.dtype
+    )
+    return torch.cat([pos, q_e[3:4], v, torch.stack([roll_des, pitch_des, wz, W_a[2]])])
+
+
 def att_y(x, u, q_d, lim):
     """Stage residual y (reference quad_rollpitchyawrate.py:51)."""
     pos, q, v = _split_norm(x)
@@ -153,16 +207,39 @@ def att_yN(x, q_d, flag, gated):
     return out * flag if gated else out
 
 
+ORACLE_MODELS = {
+    "att": (att_f, att_y),
+    "att_tau": (att_tau_f, att_tau_y),
+}
+
+
 # ---------------------------------------------------------------------------
 # NeuralDF forward (reference network/neural_df.py:7-103, embeddings.py:6-104)
 # re-implemented in torch over the raw flax weight arrays
 # ---------------------------------------------------------------------------
 
 
-def _pos_embedding(pos, nb_freqs):
-    """'pos' mode: identity projection dirs; [x, sin(2^i x), cos(2^i x)]."""
+# octahedron projection directions: the 8 cube vertices normalized
+# (re-derived from the reference spec, embeddings.py:38-51)
+_OCT_DIRS = np.array(
+    [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+    np.float64,
+).T  # (3, 8) — column order (-1,-1,-1), (-1,-1,+1), ... matches the table
+_OCT_DIRS = _OCT_DIRS / np.linalg.norm(_OCT_DIRS, axis=0)
+
+
+def _pos_embedding(pos, nb_freqs, proj="pos"):
+    """[x, sin(2^i A x), cos(2^i A x)] with projection dirs A: identity
+    ('pos') or octahedron off-axis ('oct') — reference embeddings.py:24-51,
+    forward at :106-111 (dir-major, freq-minor flatten)."""
     freqs = torch.tensor([2.0**i for i in range(nb_freqs)], dtype=pos.dtype)
-    xb = (pos[:, None] * freqs).reshape(-1)  # dir-major, freq-minor
+    if proj == "pos":
+        prj = pos
+    elif proj == "oct":
+        prj = torch.as_tensor(_OCT_DIRS, dtype=pos.dtype).T @ pos  # (8,)
+    else:
+        raise ValueError(f"oracle embedding {proj!r} not implemented")
+    xb = (prj[:, None] * freqs).reshape(-1)  # dir-major, freq-minor
     emb = torch.sin(torch.cat([xb, xb + _pymath.pi / 2]))
     return torch.cat([pos, emb])
 
@@ -176,13 +253,14 @@ def extract_mlp_weights(flax_params) -> dict:
     }
 
 
-def neural_df_torch(pos, latent, weights, nb_freqs=5, w0=1.0, res="full"):
+def neural_df_torch(pos, latent, weights, nb_freqs=5, w0=1.0, res="full",
+                    proj="pos"):
     """Scalar truncated-SDF forward, torch f64."""
     dense = lambda h, name: h @ torch.as_tensor(weights[name][0], dtype=h.dtype) + torch.as_tensor(
         weights[name][1], dtype=h.dtype
     )
     act = lambda h: torch.sin(w0 * h)
-    emb = _pos_embedding(pos, nb_freqs)
+    emb = _pos_embedding(pos, nb_freqs, proj)
     h = torch.cat([emb, latent])
     h = act(dense(h, "main1_0"))
     h = act(dense(h, "main1_1"))
@@ -248,9 +326,16 @@ class OracleOcp:
     bound_margin: float
     vel_lims: tuple
     yN_gated: bool
+    model: str = "att"  # dynamics/residual family (ORACLE_MODELS)
+    # NeuralDF hyperparameters (VALUES only — the forward itself is the
+    # independent torch re-implementation above)
+    sdf_proj: str = "pos"
+    sdf_w0: float = 1.0
+    sdf_nb_freqs: int = 5
 
 
-def build_oracle_ocp(cfg, flax_params=None, sdf_max_df=1.0, bdist_coeffs=None):
+def build_oracle_ocp(cfg, flax_params=None, sdf_max_df=1.0, bdist_coeffs=None,
+                     sdf_proj="pos", sdf_w0=1.0, sdf_nb_freqs=5):
     lim = {k: float(getattr(cfg.robot.limits, k)) for k in ("gamma", "roll", "pitch", "wz", "vx", "vy", "vz")}
     if cfg.mpc.uniform_dt:
         nodes = np.linspace(0.0, cfg.mpc.T, cfg.mpc.N + 1)
@@ -296,6 +381,8 @@ def build_oracle_ocp(cfg, flax_params=None, sdf_max_df=1.0, bdist_coeffs=None):
         bound_margin=float(cfg.mpc.bound_margin),
         vel_lims=(lim["vx"], lim["vy"], lim["vz"]),
         yN_gated=flags["enable_sdf"] and flags["recursive_feasibility"] and flags["stability"],
+        model=str(cfg.mpc.model),
+        sdf_proj=sdf_proj, sdf_w0=float(sdf_w0), sdf_nb_freqs=int(sdf_nb_freqs),
     )
 
 
@@ -340,7 +427,10 @@ def _constraint_rows(oc: OracleOcp, p_row):
         return h
 
     def sdf_flagged(x, u):
-        df = neural_df_torch(co_p_b(x), latent, oc.mlp_weights)
+        df = neural_df_torch(
+            co_p_b(x), latent, oc.mlp_weights, nb_freqs=oc.sdf_nb_freqs,
+            w0=oc.sdf_w0, proj=oc.sdf_proj,
+        )
         return flag * df + (1 - flag) * oc.sdf_max_df
 
     stage, term = [], []
@@ -445,17 +535,18 @@ def rti_tick(oc: OracleOcp, x0, p, yref_row, W_row, lm_convention="acados", X=No
     Jhu = np.zeros((N, nh, nu))
 
     yref = np.asarray(yref_row, np.float64)[:ny]
+    model_f, model_y = ORACLE_MODELS[oc.model]
     for k in range(N):
         xk, uk = tt(X[k]), tt(U[k])
         dtk = float(oc.dt[k])
-        fwd = lambda xv, uv: erk4(lambda a, b: att_f(a, b, oc.lim), xv, uv, dtk)
+        fwd = lambda xv, uv: erk4(lambda a, b: model_f(a, b, oc.lim), xv, uv, dtk)
         x_next = fwd(xk, uk)
         Ak, Bk = _jac(fwd, (xk, uk))
         A[k], Bm[k] = Ak.numpy(), Bk.numpy()
         defect[k] = x_next.numpy() - X[k + 1]
 
         _, _, _, q_d, _ = _p_parts(p[k], oc.size_latent)
-        yfn = lambda xv, uv: att_y(xv, uv, q_d, oc.lim)
+        yfn = lambda xv, uv: model_y(xv, uv, q_d, oc.lim)
         res[k] = yfn(xk, uk).numpy() - yref
         Jx, Ju = _jac(yfn, (xk, uk))
         Jyx[k], Jyu[k] = Jx.numpy(), Ju.numpy()
