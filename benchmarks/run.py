@@ -116,17 +116,37 @@ def config2():
 
 
 def config3():
-    """Perception-to-control: encode a depth image then solve."""
+    """Perception-to-control: encode a depth image then solve.
+
+    With trained weights present (weights/, scripts/train_latent_sdf.py
+    --prod --out weights) the image is a RENDERED obstructed scene and the
+    encoder the trained one (reference default.yaml:26-31 semantics: shipped
+    weights + live sensor image); otherwise random init + noise image."""
     import jax
     import jax.numpy as jnp
 
     from sdf_nmpc_tpu.nn import Encoder
+    from sdf_nmpc_tpu.nn.weights import load_prod_encoder
 
     cfg, ocp, step, states, inputs = setup(enable_sdf=True, batch=1)
     H, W = cfg.sensor.shape_imgs[-2:]
-    enc = Encoder(1, cfg.nn.size_latent, dropout_rate=0.0, batchnorm=False)
-    enc_vars = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 1)))
-    img = jnp.asarray(np.random.default_rng(0).uniform(size=(1, H, W, 1)), jnp.float32)
+    loaded = load_prod_encoder()
+    if loaded is not None:
+        enc, enc_vars, _meta = loaded
+        from sdf_nmpc_tpu.sim import Scene, render_range_image
+
+        sc = Scene.make(spheres=[([2.2, 0.1, 0.0], 0.45), ([3.0, -0.8, 0.3], 0.4)])
+        img_hw = render_range_image(
+            sc, jnp.zeros(3), jnp.eye(3), H, W,
+            float(cfg.sensor.hfov), float(cfg.sensor.vfov), float(cfg.sensor.dmax),
+        )
+        img = jnp.asarray(img_hw, jnp.float32)[None, :, :, None]
+        print("config 3: trained encoder + rendered scene image")
+    else:
+        enc = Encoder(1, cfg.nn.size_latent, dropout_rate=0.0, batchnorm=False)
+        enc_vars = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 1)))
+        img = jnp.asarray(np.random.default_rng(0).uniform(size=(1, H, W, 1)), jnp.float32)
+        print("config 3: random-init encoder + noise image (no weights/ artifacts)")
 
     latent_start = ocp.layout.latent_start
     one = jax.jit(step)

@@ -63,6 +63,8 @@ def main():
             f"{warm['u0_max_err']:9.2e} {warm['u0_max_err_tick0']:9.2e} "
             f"{ok:>7s} {dt:6.0f}"
         )
+        per_tick = " ".join(f"{v:.1e}" for v in warm["per_tick_max"])
+        print(f"  per-tick max (tick0=cold-state replay): {per_tick}")
 
 
 if __name__ == "__main__":

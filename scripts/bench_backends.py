@@ -34,15 +34,12 @@ def run(backend: str, N: int) -> float:
     cfg, ocp, step, states, inputs = _build(cfg_overrides=overrides, batch=B)
     vstep = jax.jit(jax.vmap(step))
     out = vstep(states, inputs)
-    out.u0.block_until_ready()
-    ts = []
-    for _ in range(6):
-        t0 = time.perf_counter()
-        out = vstep(states, inputs)
-        out.u0.block_until_ready()
-        ts.append(time.perf_counter() - t0)
-    t = float(np.median(ts))
     n_ok = int(np.asarray(out.status == 0).sum())
+    # span timing (scripts/_tpu_timer.py): block_until_ready does not await
+    # execution through the tunnel — chain data-dependent steps instead
+    from _tpu_timer import time_steps
+
+    t = time_steps(vstep, states, inputs, iters=6)
     print(
         f"N={N:4d} {backend:10s} {t * 1e3:9.1f} ms ({B / t:9.0f} solves/s, "
         f"ok {n_ok}/{B})",

@@ -330,21 +330,61 @@ def evaluate_perception_in_loop(test_scenes, vae, vae_vars, module, params,
     return stats
 
 
+def save_artifacts(out_dir, vae_vars, module, params, lat_train, layer_sizes, args, stats):
+    """Persist trained weights for the bench configs + accuracy workload
+    (VERDICT r2 item 4): flax msgpack trees + encoded latents + meta."""
+    import json
+
+    from flax import serialization
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "sdf.msgpack").write_bytes(serialization.to_bytes(params))
+    (out / "vae_encoder.msgpack").write_bytes(
+        serialization.to_bytes({"params": vae_vars["params"]["encoder"]})
+    )
+    (out / "vae_decoder.msgpack").write_bytes(
+        serialization.to_bytes({"params": vae_vars["params"]["decoder"]})
+    )
+    np.save(out / "latents.npy", np.asarray(lat_train[:64], np.float32))
+    (out / "meta.json").write_text(
+        json.dumps(
+            dict(
+                size_latent=args.latent,
+                layer_sizes=list(layer_sizes),
+                embed="oct", act="sin", w0=8.0,
+                img=args.img, scenes=args.scenes, sdf_steps=args.sdf_steps,
+                vae_epochs=args.vae_epochs, stats=stats,
+            )
+        )
+    )
+    print(f"artifacts -> {out}/ (sdf.msgpack, vae_encoder/decoder.msgpack, latents.npy)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="tiny sizes for smoke runs")
+    ap.add_argument("--prod", action="store_true",
+                    help="production scale: 128-latent VAE + 4x256 NeuralDF "
+                         "(the shipped-weights substitute, VERDICT r2 item 4)")
     ap.add_argument("--scenes", type=int, default=192)
     ap.add_argument("--test-scenes", type=int, default=8)
     ap.add_argument("--latent", type=int, default=32)
     ap.add_argument("--vae-epochs", type=int, default=25)
     ap.add_argument("--sdf-steps", type=int, default=2500)
     ap.add_argument("--img", default="64x96")
+    ap.add_argument("--out", default=None,
+                    help="persist trained weights to this dir (weights/ for the benches)")
     args = ap.parse_args()
 
     if args.quick:
         args.scenes, args.test_scenes = 24, 3
         args.vae_epochs, args.sdf_steps = 3, 200
         args.latent = 16
+    if args.prod:
+        args.latent = 128
+        args.img = "135x240"
+        args.sdf_steps = max(args.sdf_steps, 4000)
 
     H, W = (int(v) for v in args.img.split("x"))
     hfov, vfov, dmax = 0.7592, 0.4903, 5.0
@@ -365,9 +405,14 @@ def main():
 
     print("[3/4] training latent-conditioned NeuralDF ...")
     lat_train = encode_latents(vae, vae_vars, np.asarray(imgs_train))
+    layer_sizes = (
+        (32, 32, 32, 32) if args.quick
+        else (256, 256, 256, 256) if args.prod
+        else (128, 128, 128, 128)
+    )
     module, params, loss = train_latent_sdf(
         train_scenes, np.asarray(lat_train), args.latent,
-        layer_sizes=(128, 128, 128, 128) if not args.quick else (32, 32, 32, 32),
+        layer_sizes=layer_sizes,
         steps=args.sdf_steps, batch_scenes=16, pts_per_scene=256,
     )
     print(f"    final train mse {loss:.5f}")
@@ -388,6 +433,9 @@ def main():
         "sdf_on_collision_rate"] <= 0.25
     print("RESULT:", "OK — latent-conditioned avoidance works on unseen scenes"
           if ok else "WARN — insufficient generalization (train longer / more scenes)")
+    if args.out:
+        save_artifacts(args.out, vae_vars, module, params, np.asarray(lat_train),
+                       layer_sizes, args, stats)
     print(f"total {time.time() - t0:.0f}s")
 
 
