@@ -40,6 +40,56 @@ STATUS_NAN = 1
 STATUS_NOT_CONVERGED = 2  # KKT residual above cfg.solver.kkt_tol (state kept)
 
 
+def resolve_stiff_knobs(cfg):
+    """(k_stiff, stiff_iters, ratio_cap) with flags-adaptive 'auto' defaults.
+
+    The standard sdf OCP meets the 1e-3 contract with the cheap split
+    (k_stiff 8, 8 stiff iterations); the recursive-feasibility OCP adds 8
+    simultaneously-active hard terminal rows (rec-feas + braking-endpoint
+    FoV + stability velocity bounds) and measurably needs the wide split
+    (k 32, 16 stiff iterations) — 3.5e-3 vs 4.8e-4 worst-case u0 at k16/k32
+    (docs/performance.md round-3 study).  'auto' picks by
+    cfg.flags.recursive_feasibility so each formulation gets defaults that
+    pass its own gate."""
+    rf = bool(cfg.flags.recursive_feasibility)
+    k = cfg.solver.get("qp_stiff_k", "auto")
+    if k in (None, "auto"):
+        k = 32 if rf else 8
+    si = cfg.solver.get("qp_stiff_iters", "auto")
+    if si == "auto":
+        si = 16 if rf else 8
+    cap = cfg.solver.get("qp_ratio_cap", "auto")
+    if cap == "auto":
+        cap = 1e8
+    return int(k), (None if si is None else int(si)), (
+        None if cap is None else float(cap)
+    )
+
+
+def resolve_iter_budget(cfg, budget: str) -> int:
+    """Total IP iterations for a budget phase, flags-adaptive 'auto'.
+
+    The standard sdf OCP's measured floors (on-hw prod-scale study,
+    docs/performance.md round 3): cold 20, warm/steady 18.  The rec-feas OCP
+    needs the round-2 budgets (cold 26, warm 22) — at cold 20 its worst
+    scenario sits at 3.4e-3 vs 4.8e-4 at 26."""
+    rf = bool(cfg.flags.recursive_feasibility)
+    cold = cfg.solver.get("qp_iters", "auto")
+    if cold in (None, "auto"):
+        cold = 26 if rf else 20
+    if budget == "cold":
+        return int(cold)
+    warm = cfg.solver.get("qp_iters_warm", "auto")
+    if warm in (None, "auto"):
+        warm = 22 if rf else 18
+    if budget == "warm":
+        return int(warm)
+    steady = cfg.solver.get("qp_iters_steady", "auto")
+    if steady in (None, "auto"):
+        steady = warm
+    return int(steady)
+
+
 class SolverState(NamedTuple):
     """Warm-start carry: the multiple-shooting trajectory iterate, plus
     (optionally, cfg.solver.dual_warm_start) the QP interior-point state —
@@ -140,22 +190,19 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True,
                  cfg.solver.steady_after consecutive clean warm ticks.
     """
     dtype = jnp.dtype(cfg.solver.dtype)
-    qp_iters = int(cfg.solver.qp_iters)
-    qp_stiff_iters = cfg.solver.get("qp_stiff_iters", None)
+    if budget not in ("cold", "warm", "steady"):
+        raise ValueError(f"unknown budget {budget!r}")
+    qp_iters = resolve_iter_budget(cfg, budget)
+    qp_stiff_k, qp_stiff_iters, qp_ratio_cap = resolve_stiff_knobs(cfg)
     if budget in ("warm", "steady"):
-        qp_iters = int(cfg.solver.get("qp_iters_warm", None) or qp_iters)
         qp_stiff_iters = cfg.solver.get("qp_stiff_iters_warm", qp_stiff_iters)
     if budget == "steady":
-        qp_iters = int(cfg.solver.get("qp_iters_steady", None) or qp_iters)
         qp_stiff_iters = cfg.solver.get(
             "qp_stiff_iters_steady", qp_stiff_iters
         )
-    if budget not in ("cold", "warm", "steady"):
-        raise ValueError(f"unknown budget {budget!r}")
     # qp_ratio_cap is an f32 remedy (mild-row bias at the f32 dtype
     # default cap; docs/performance.md): f64 runs keep the dtype default
     # so reference/golden solves stay uncapped
-    qp_ratio_cap = cfg.solver.get("qp_ratio_cap", None)
     if jnp.dtype(cfg.solver.dtype) != jnp.float32:
         qp_ratio_cap = None
     N, nx, nu = ocp.N, ocp.nx, ocp.nu
@@ -398,7 +445,7 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True,
                 iters=qp_iters,
                 mu0=float(cfg.solver.barrier_init),
                 box_margin=float(cfg.solver.box_margin),
-                k_stiff=int(cfg.solver.get("qp_stiff_k", 16)),
+                k_stiff=qp_stiff_k,
                 stiff_iters=qp_stiff_iters,
                 ratio_cap_override=qp_ratio_cap,
             )
@@ -557,7 +604,7 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True,
                 box_margin=float(cfg.solver.box_margin),
                 warm_duals=state.qp_duals if dual_ws else None,
                 ir_steps=int(cfg.solver.get("ir_steps", 0)),
-                k_stiff=int(cfg.solver.get("qp_stiff_k", 16)),
+                k_stiff=qp_stiff_k,
                 stiff_iters=qp_stiff_iters,
                 chol_impl=cfg.solver.get("chol_impl", "auto"),
                 ratio_cap_override=qp_ratio_cap,
