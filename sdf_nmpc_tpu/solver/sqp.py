@@ -86,7 +86,11 @@ def resolve_iter_budget(cfg, budget: str) -> int:
         return int(warm)
     steady = cfg.solver.get("qp_iters_steady", "auto")
     if steady in (None, "auto"):
-        steady = warm
+        # trained-weights on-hw replay (docs/performance.md round 3): steady
+        # ticks (4+) hold 3.9e-4 at 15 iters / 6 stiff; 14 is the cliff
+        # (1.1e-3).  rec-feas keeps the warm budget (its hard terminal rows
+        # dominate every tick).
+        steady = warm if rf else 15
     return int(steady)
 
 
@@ -197,9 +201,12 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True,
     if budget in ("warm", "steady"):
         qp_stiff_iters = cfg.solver.get("qp_stiff_iters_warm", qp_stiff_iters)
     if budget == "steady":
-        qp_stiff_iters = cfg.solver.get(
-            "qp_stiff_iters_steady", qp_stiff_iters
-        )
+        ss = cfg.solver.get("qp_stiff_iters_steady", "auto")
+        if ss in (None, "auto"):
+            # auto = 6 (trained-weights on-hw replay, with the 15-iter steady
+            # budget) unless rec-feas, which keeps the warm stiff count
+            ss = qp_stiff_iters if bool(cfg.flags.recursive_feasibility) else 6
+        qp_stiff_iters = int(ss)
     # qp_ratio_cap is an f32 remedy (mild-row bias at the f32 dtype
     # default cap; docs/performance.md): f64 runs keep the dtype default
     # so reference/golden solves stay uncapped

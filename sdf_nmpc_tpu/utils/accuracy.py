@@ -114,6 +114,9 @@ def build_setup(dtype_cfg=None, variant: str = "sdf", model: str = None):
     from ..nn import init_neural_df, make_sdf_fn
     from ..ocp import build_ocp
     from ..params import ParamLayout
+    from .xla_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     cfg = default_config().replace(nn=dict(size_latent=LATENT))
     if model is not None:
