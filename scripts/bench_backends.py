@@ -27,9 +27,18 @@ def run(backend: str, N: int) -> float:
 
     from __graft_entry__ import _build
 
+    solver = dict(qp_backend=backend)
+    if backend == "condensed" and N > 20:
+        # the lanes condensing kernel's accumulator windows are O(N^2) VMEM
+        # ((N, nx+1, N*nu, lanes) blocks): at N=40 the compiler reports
+        # 175 MB vs the 128 MB v5e VMEM.  Long horizons run the composed XLA
+        # path (same algorithm, HBM-resident intermediates) — lin_impl gates
+        # the condensing recursion, chol_impl the IP kernel.
+        solver["chol_impl"] = "xla"
+        solver["lin_impl"] = "xla"
     overrides = dict(
         mpc=dict(N=N, T=N * DT),
-        solver=dict(qp_backend=backend),
+        solver=solver,
     )
     cfg, ocp, step, states, inputs = _build(cfg_overrides=overrides, batch=B)
     vstep = jax.jit(jax.vmap(step))

@@ -324,7 +324,14 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True,
             jnp.asarray(v, dtype) for v in (res, Jyx, Jyu)
         ) + h_node(x, u, p)
 
-    use_riccati = str(cfg.solver.get("qp_backend", "condensed")) == "riccati"
+    qp_backend = str(cfg.solver.get("qp_backend", "auto"))
+    if qp_backend == "auto":
+        # on-hw crossover study (docs/performance.md, scripts/bench_backends.py):
+        # the fused condensed kernel wins 22.8x at the reference N=20 but its
+        # O(N^2)-VMEM condensing windows stop compiling at N=40, where the
+        # composed backends cross (riccati 1.56x faster at N=40, 1.59x at 80)
+        qp_backend = "condensed" if N <= 20 else "riccati"
+    use_riccati = qp_backend == "riccati"
 
     def _finish(X, U, dX, dU, kkt_residual, complementarity, new_duals, p):
         """Shared trajectory update + NaN guard + status (both QP backends)."""
