@@ -59,13 +59,43 @@ def load_prod_sdf(weights_dir=None, require_latent=None, require_layers=None):
     return module, _restore(d / "sdf.msgpack")
 
 
-def load_prod_encoder(weights_dir=None):
+def meta_img_shape(meta) -> tuple[int, int] | None:
+    """(H, W) the encoder was trained at, parsed from meta['img'] 'HxW'."""
+    img = (meta or {}).get("img")
+    if not img:
+        return None
+    h, w = str(img).lower().split("x")
+    return int(h), int(w)
+
+
+def load_prod_encoder(weights_dir=None, expect_img=None, strict=False):
     """(encoder_module, variables, meta) for the trained VAE encoder, or
-    None.  batchnorm=False (how train_latent_sdf trains it)."""
+    None.  batchnorm=False (how the training scripts train it).
+
+    expect_img: optional (H, W) the caller will feed.  The encoder's adaptive
+    pooling makes any shape *run*, but inputs away from the trained
+    resolution (meta['img']) are out of distribution — on mismatch this warns
+    (or returns None when strict=True) so consumers resize to the trained
+    resolution instead of silently shifting the latent distribution."""
     d = Path(weights_dir) if weights_dir else WEIGHTS_DIR
     meta = _meta(d)
     if meta is None or not (d / "vae_encoder.msgpack").exists():
         return None
+    if expect_img is not None:
+        trained = meta_img_shape(meta)
+        if trained is not None and tuple(expect_img) != trained:
+            import warnings
+
+            msg = (
+                f"prod VAE encoder was trained at {trained[0]}x{trained[1]} "
+                f"but caller feeds {tuple(expect_img)[0]}x{tuple(expect_img)[1]}"
+                " — latents will be out of the training distribution; resize"
+                " inputs to the trained resolution"
+            )
+            if strict:
+                warnings.warn(msg + " (strict: returning None)")
+                return None
+            warnings.warn(msg)
     from .vae import Encoder
 
     module = Encoder(1, meta["size_latent"], dropout_rate=0.0, batchnorm=False)

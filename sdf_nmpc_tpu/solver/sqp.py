@@ -70,9 +70,10 @@ def resolve_iter_budget(cfg, budget: str) -> int:
     """Total IP iterations for a budget phase, flags-adaptive 'auto'.
 
     The standard sdf OCP's measured floors (on-hw prod-scale study,
-    docs/performance.md round 3): cold 20, warm/steady 18.  The rec-feas OCP
-    needs the round-2 budgets (cold 26, warm 22) — at cold 20 its worst
-    scenario sits at 3.4e-3 vs 4.8e-4 at 26."""
+    docs/performance.md round 3): cold 20, warm 18, steady 15 (with 6 stiff
+    iterations — 14 is the accuracy cliff at 1.1e-3).  The rec-feas OCP
+    needs the round-2 budgets (cold 26, warm 22, steady = warm) — at cold 20
+    its worst scenario sits at 3.4e-3 vs 4.8e-4 at 26."""
     rf = bool(cfg.flags.recursive_feasibility)
     cold = cfg.solver.get("qp_iters", "auto")
     if cold in (None, "auto"):
@@ -92,6 +93,19 @@ def resolve_iter_budget(cfg, budget: str) -> int:
         # dominate every tick).
         steady = warm if rf else 15
     return int(steady)
+
+
+def resolve_qp_backend(cfg, N: int) -> str:
+    """QP backend for horizon N, resolving 'auto' by the measured crossover.
+
+    On-hw crossover study (docs/performance.md, scripts/bench_backends.py):
+    the fused condensed kernel wins 22.8x at the reference N=20 but its
+    O(N^2)-VMEM condensing windows stop compiling at N=40, where the composed
+    backends cross (riccati 1.56x faster at N=40, 1.59x at 80)."""
+    qp_backend = str(cfg.solver.get("qp_backend", "auto"))
+    if qp_backend == "auto":
+        qp_backend = "condensed" if N <= 20 else "riccati"
+    return qp_backend
 
 
 class SolverState(NamedTuple):
@@ -187,9 +201,11 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True,
                  floor is measured by the fixed-state replay testbed
                  (scripts/warm_testbed.py, docs/performance.md).
       "steady" -- cfg.solver.qp_iters_steady (+ qp_stiff_iters_steady) when
-                 set, else the warm budget.  The replay testbed shows the
-                 early post-cold ticks (1-3) dominate the warm error while
-                 steady ticks converge in noticeably fewer iterations; the
+                 set, else 15 iterations / 6 stiff (the on-hw trained-weights
+                 replay floor; falls back to the warm budget only under
+                 recursive_feasibility).  The replay testbed shows the early
+                 post-cold ticks (1-3) dominate the warm error while steady
+                 ticks converge in noticeably fewer iterations; the
                  controller promotes to this budget after
                  cfg.solver.steady_after consecutive clean warm ticks.
     """
@@ -202,11 +218,20 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True,
         qp_stiff_iters = cfg.solver.get("qp_stiff_iters_warm", qp_stiff_iters)
     if budget == "steady":
         ss = cfg.solver.get("qp_stiff_iters_steady", "auto")
-        if ss in (None, "auto"):
+        if ss == "auto":
             # auto = 6 (trained-weights on-hw replay, with the 15-iter steady
-            # budget) unless rec-feas, which keeps the warm stiff count
-            ss = qp_stiff_iters if bool(cfg.flags.recursive_feasibility) else 6
-        qp_stiff_iters = int(ss)
+            # budget) unless rec-feas (keep the warm stiff count) or the user
+            # overrode the inherited knob to None ('split every iteration')
+            # or 0 ('split off') — inherit those instead of re-tuning them.
+            if (
+                bool(cfg.flags.recursive_feasibility)
+                or qp_stiff_iters is None
+                or int(qp_stiff_iters) == 0
+            ):
+                ss = qp_stiff_iters
+            else:
+                ss = 6
+        qp_stiff_iters = None if ss is None else int(ss)
     # qp_ratio_cap is an f32 remedy (mild-row bias at the f32 dtype
     # default cap; docs/performance.md): f64 runs keep the dtype default
     # so reference/golden solves stay uncapped
@@ -324,13 +349,7 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True,
             jnp.asarray(v, dtype) for v in (res, Jyx, Jyu)
         ) + h_node(x, u, p)
 
-    qp_backend = str(cfg.solver.get("qp_backend", "auto"))
-    if qp_backend == "auto":
-        # on-hw crossover study (docs/performance.md, scripts/bench_backends.py):
-        # the fused condensed kernel wins 22.8x at the reference N=20 but its
-        # O(N^2)-VMEM condensing windows stop compiling at N=40, where the
-        # composed backends cross (riccati 1.56x faster at N=40, 1.59x at 80)
-        qp_backend = "condensed" if N <= 20 else "riccati"
+    qp_backend = resolve_qp_backend(cfg, N)
     use_riccati = qp_backend == "riccati"
 
     def _finish(X, U, dX, dU, kkt_residual, complementarity, new_duals, p):
