@@ -52,12 +52,13 @@ def _sdf_kw():
     return dict(sdf_proj=mod.embed, sdf_w0=mod.w0, sdf_nb_freqs=mod.nb_freqs)
 
 
-def _oracle_u0(variant, n, lm_convention="acados", verbose=True, model=None):
+def _oracle_u0(variant, n, lm_convention="acados", verbose=True, model=None,
+               N=None):
     import oracle_rti as orc
 
     from sdf_nmpc_tpu.utils import accuracy
 
-    cfg, ocp, layout = accuracy.build_setup(variant=variant, model=model)
+    cfg, ocp, layout = accuracy.build_setup(variant=variant, model=model, N=N)
     scen = accuracy.build_scenarios(cfg, ocp, layout)[:n]
     kw = {}
     if variant == "recfeas":
@@ -118,8 +119,16 @@ def main():
             # second independently-checked model family (VERDICT r2 item 3):
             # att_tau = first-order attitude lag + euler-rate map
             ("tau", "sdf", "att_tau", 8),
+            # third family (VERDICT r3 item 4): per-rotor full rigid-body
+            # dynamics + GTMRP allocation (reference quad_props.py:41-48)
+            ("props", "sdf", "props", 8),
         ):
             u0s, opts = _oracle_u0(variant, n, model=model)
+            out[f"{key}_u0"] = u0s
+            out[f"{key}_opt"] = opts
+            print(f"{key}: {n} scenarios, worst qp optimality {opts.max():.1e}")
+        for key, variant, N, n in (("n40", "sdf", 40, 8),):
+            u0s, opts = _oracle_u0(variant, n, N=N)
             out[f"{key}_u0"] = u0s
             out[f"{key}_opt"] = opts
             print(f"{key}: {n} scenarios, worst qp optimality {opts.max():.1e}")
@@ -128,13 +137,24 @@ def main():
         print(f"oracle goldens -> {GOLD}")
         return
 
-    if mode == "tau":
-        # regenerate only the att_tau keys (cheap incremental add)
+    if mode == "n40":
+        # Riccati-regime contract (VERDICT r3 item 5): at N=40 the 'auto'
+        # backend selects qp_riccati; these goldens give that regime the same
+        # independent-oracle anchor the N=20 condensed path has.
         out = {k: v for k, v in np.load(GOLD).items()}
-        u0s, opts = _oracle_u0("sdf", 8, model="att_tau")
-        out["tau_u0"], out["tau_opt"] = u0s, opts
+        u0s, opts = _oracle_u0("sdf", 8, N=40)
+        out["n40_u0"], out["n40_opt"] = u0s, opts
         np.savez(GOLD, **out)
-        print(f"tau: worst qp optimality {opts.max():.1e} -> {GOLD}")
+        print(f"n40: worst qp optimality {opts.max():.1e} -> {GOLD}")
+        return
+
+    if mode in ("tau", "props"):
+        # regenerate only one model family's keys (cheap incremental add)
+        out = {k: v for k, v in np.load(GOLD).items()}
+        u0s, opts = _oracle_u0("sdf", 8, model="att_tau" if mode == "tau" else "props")
+        out[f"{mode}_u0"], out[f"{mode}_opt"] = u0s, opts
+        np.savez(GOLD, **out)
+        print(f"{mode}: worst qp optimality {opts.max():.1e} -> {GOLD}")
         return
 
     if mode == "warm":

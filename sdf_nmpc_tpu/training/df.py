@@ -96,11 +96,12 @@ def train_df(
     log_fn=print,
 ):
     """Train one NeuralDF variant.  Returns (module, params, history)."""
-    nn_kwargs = dict(
+    defaults = dict(
         signed=cfg.signed, size_latent=size_latent, nb_freqs=5, res="full",
         embed="oct", act="sin", dropout_rate=0.1, w0=20.0,
-        **(nn_kwargs or {}),
     )
+    defaults.update(nn_kwargs or {})  # caller overrides win (w0 etc.)
+    nn_kwargs = defaults
     module = NeuralDF(**nn_kwargs)
     key = jax.random.PRNGKey(cfg.seed)
     key, kinit = jax.random.split(key)

@@ -70,10 +70,14 @@ def build_scenarios(cfg, ocp, layout):
     N = ocp.N
     out = []
     for i in range(N_SCEN):
-        x0 = np.zeros(10)
+        x0 = np.zeros(ocp.nx)
         x0[3] = 1.0
         x0[:3] = rng.normal(size=3) * 0.5
-        x0[7:] = rng.normal(size=3) * 0.5
+        x0[7:10] = rng.normal(size=3) * 0.5
+        if ocp.nx > 10:
+            # extra states (props body rates) draw AFTER the shared fields so
+            # the nx=10 rng stream — and every existing golden — is unchanged
+            x0[10:] = rng.normal(size=ocp.nx - 10) * 0.2
         p = np.zeros((N + 1, layout.np_total))
         layout.set_flag(p, 1.0)
         layout.set_camera(p, np.zeros(3), np.eye(3))
@@ -99,7 +103,8 @@ def synthetic_bdist_coeffs(cfg):
     return coeffs
 
 
-def build_setup(dtype_cfg=None, variant: str = "sdf", model: str = None):
+def build_setup(dtype_cfg=None, variant: str = "sdf", model: str = None,
+                N: int = None):
     """(cfg, ocp, layout) for the canonical accuracy workloads.
 
     variant: 'sdf'     -- neural-SDF constraint + FoV rows (BASELINE config 2)
@@ -108,7 +113,10 @@ def build_setup(dtype_cfg=None, variant: str = "sdf", model: str = None):
              'recfeas' -- recursive_feasibility + stability terminal
                           ingredients (gen_model.py:73-149)
     model: cfg.mpc.model override (None = the default 'att'); the oracle
-    covers 'att_tau' as a second independently-checked formulation.
+    covers 'att_tau' and 'props' as independently-checked formulations.
+    N: cfg.mpc.N horizon override (None = the reference 20).  N=40 puts the
+    solver in the regime qp_backend='auto' resolves to the Riccati backend
+    (VERDICT r3 item 5; the reference grid is configurable, ocp.py:21-27).
     """
     from ..config import default_config
     from ..nn import init_neural_df, make_sdf_fn
@@ -121,6 +129,10 @@ def build_setup(dtype_cfg=None, variant: str = "sdf", model: str = None):
     cfg = default_config().replace(nn=dict(size_latent=LATENT))
     if model is not None:
         cfg = cfg.replace(mpc=dict(model=model))
+    if N is not None:
+        # keep T growing with N so per-interval dt (and the solve's numerical
+        # character) stays comparable to the reference grid
+        cfg = cfg.replace(mpc=dict(N=int(N), T=float(cfg.mpc.T) * N / cfg.mpc.N))
     env_over = json.loads(os.environ.get("BENCH_SOLVER_OVERRIDES", "null"))
     if env_over:
         cfg = cfg.replace(solver=env_over)
@@ -152,14 +164,14 @@ def build_setup(dtype_cfg=None, variant: str = "sdf", model: str = None):
 
 
 def solve_batch(dtype_cfg=None, variant: str = "sdf", n: int = None,
-                model: str = None):
+                model: str = None, N: int = None):
     """Solve the 32 scenarios once; returns (u0 (32, nu), status (32,))."""
     import jax
     import jax.numpy as jnp
 
     from ..solver import SolveInputs, init_state, make_rti_step
 
-    cfg, ocp, layout = build_setup(dtype_cfg, variant=variant, model=model)
+    cfg, ocp, layout = build_setup(dtype_cfg, variant=variant, model=model, N=N)
     step = make_rti_step(ocp, cfg, with_evals=False)
     N = ocp.N
     dt = jnp.float64 if (dtype_cfg or {}).get("dtype") == "float64" else jnp.float32

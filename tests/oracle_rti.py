@@ -207,9 +207,111 @@ def att_yN(x, q_d, flag, gated):
     return out * flag if gated else out
 
 
+# ---------------------------------------------------------------------------
+# props model (reference model/quad_props.py:10-70): per-rotor inputs, full
+# rigid-body dynamics.  The allocation matrices are re-derived here in plain
+# numpy straight from the reference GTMRP construction (math.py:357-417,
+# quad_props.py:20-27) — NOT imported from sdf_nmpc_tpu.math.
+# ---------------------------------------------------------------------------
+
+
+def _axis_rot_np(axis, a):
+    c, s = np.cos(a), np.sin(a)
+    if axis == "x":
+        return np.array([[1.0, 0, 0], [0, c, -s], [0, s, c]])
+    if axis == "y":
+        return np.array([[c, 0, s], [0, 1.0, 0], [-s, 0, c]])
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+
+
+def props_consts_from_cfg(cfg):
+    """Allocation/inertia VALUES from config (reference quad_props.py:20-40:
+    R_i = Rz(i*pi/(n/2)) Ry(beta_i) Rx((-1)^i alpha_i); Gf = cf*[R_i e3];
+    Gt = cf*[p_i x R_i e3 + ct/cf * sign_i * R_i e3])."""
+    motors = [list(mt) for mt in cfg.robot.alloc.motors]
+    px, py, pz, alpha, beta, sign = (list(c) for c in zip(*motors))
+    n = len(sign)
+    cf, ct = float(cfg.robot.alloc.cf), float(cfg.robot.alloc.ct)
+    R = [
+        _axis_rot_np("z", i * (np.pi / (n / 2)))
+        @ _axis_rot_np("y", beta[i])
+        @ _axis_rot_np("x", (-1) ** i * alpha[i])
+        for i in range(n)
+    ]
+    pos = np.array([px, py, pz], np.float64).T
+    Rz = [r @ np.array([0.0, 0, 1]) for r in R]
+    Gf = cf * np.column_stack(Rz)
+    Gt = cf * np.column_stack(
+        [np.cross(pos[i], Rz[i]) + ct / cf * sign[i] * Rz[i] for i in range(n)]
+    )
+    mass = float(cfg.robot.mass)
+    J = np.diag(np.asarray(cfg.robot.inertia, np.float64))
+    wh = float(np.sqrt(mass * GRAVITY / (4 * cf)))
+    return dict(Gf=Gf, Gt=Gt, mass=mass, J=J, wh=wh)
+
+
+def _quat2euler_full(q):
+    """Reference quat2euler (math.py:57-70)."""
+    roll = torch.atan2(2 * (q[0] * q[1] + q[2] * q[3]), 1 - 2 * (q[1] ** 2 + q[2] ** 2))
+    pitch = torch.asin(2 * (q[0] * q[2] - q[3] * q[1]))
+    yaw = torch.atan2(2 * (q[0] * q[3] + q[1] * q[2]), 1 - 2 * (q[2] ** 2 + q[3] ** 2))
+    return torch.stack([roll, pitch, yaw])
+
+
+def _props_split(x):
+    q = x[3:7]
+    q = q / torch.linalg.norm(q)
+    return x[:3], q, x[7:10], x[10:13]
+
+
+def props_f(x, u, oc):
+    mc = oc.model_consts
+    _, q, v, w = _props_split(x)
+    wp = u * oc.lim["wp"]
+    Gf = torch.as_tensor(mc["Gf"], dtype=x.dtype)
+    Gt = torch.as_tensor(mc["Gt"], dtype=x.dtype)
+    J = torch.as_tensor(mc["J"], dtype=x.dtype)
+    W_a = _quat2rot(q) @ (Gf @ wp**2) / mc["mass"] + torch.tensor(
+        [0.0, 0.0, -GRAVITY], dtype=x.dtype
+    )
+    dq = _hamilton(q, torch.cat([torch.zeros(1, dtype=x.dtype), w])) / 2
+    dw = torch.linalg.solve(J, Gt @ wp**2 - torch.linalg.cross(w, J @ w))
+    return torch.cat([v, dq, W_a, dw])
+
+
+def props_y(x, u, q_d, oc):
+    """Stage residual (reference quad_props.py:60): (p, eta[:2], q_e[3], v,
+    w, wp), ny=16."""
+    pos, q, v, w = _props_split(x)
+    eta = _quat2euler_full(q)
+    q_inv = q * torch.tensor([1.0, -1, -1, -1], dtype=q.dtype) / torch.linalg.norm(q)
+    q_e = _hamilton(q_d, q_inv)
+    return torch.cat([pos, eta[:2], q_e[3:4], v, w, u * oc.lim["wp"]])
+
+
+def props_yN(x, q_d, flag, gated, oc):
+    pos, q, v, w = _props_split(x)
+    eta = _quat2euler_full(q)
+    q_inv = q * torch.tensor([1.0, -1, -1, -1], dtype=q.dtype) / torch.linalg.norm(q)
+    q_e = _hamilton(q_d, q_inv)
+    out = torch.cat([pos, eta[:2], q_e[3:4], v, w])
+    return out * flag if gated else out
+
+
 ORACLE_MODELS = {
-    "att": (att_f, att_y),
-    "att_tau": (att_tau_f, att_tau_y),
+    "att": dict(
+        f=lambda x, u, oc: att_f(x, u, oc.lim),
+        y=lambda x, u, q_d, oc: att_y(x, u, q_d, oc.lim),
+        yN=lambda x, q_d, flag, gated, oc: att_yN(x, q_d, flag, gated),
+        nx=10, ny=11,
+    ),
+    "att_tau": dict(
+        f=lambda x, u, oc: att_tau_f(x, u, oc.lim),
+        y=lambda x, u, q_d, oc: att_tau_y(x, u, q_d, oc.lim),
+        yN=lambda x, q_d, flag, gated, oc: att_yN(x, q_d, flag, gated),
+        nx=10, ny=11,
+    ),
+    "props": dict(f=props_f, y=props_y, yN=props_yN, nx=13, ny=16),
 }
 
 
@@ -332,11 +434,14 @@ class OracleOcp:
     sdf_proj: str = "pos"
     sdf_w0: float = 1.0
     sdf_nb_freqs: int = 5
+    # per-model constants (props: allocation/inertia, props_consts_from_cfg)
+    model_consts: dict | None = None
 
 
 def build_oracle_ocp(cfg, flax_params=None, sdf_max_df=1.0, bdist_coeffs=None,
                      sdf_proj="pos", sdf_w0=1.0, sdf_nb_freqs=5):
-    lim = {k: float(getattr(cfg.robot.limits, k)) for k in ("gamma", "roll", "pitch", "wz", "vx", "vy", "vz")}
+    lim = {k: float(getattr(cfg.robot.limits, k)) for k in (
+        "gamma", "roll", "pitch", "wz", "vx", "vy", "vz", "wp")}
     if cfg.mpc.uniform_dt:
         nodes = np.linspace(0.0, cfg.mpc.T, cfg.mpc.N + 1)
     else:
@@ -354,13 +459,27 @@ def build_oracle_ocp(cfg, flax_params=None, sdf_max_df=1.0, bdist_coeffs=None,
         "enable_sdf", "sdf_cost", "sdf_constraint", "vfov_constraint",
         "recursive_feasibility", "stability")}
     slack = lambda s: (None if s is None else (float(s[0]), float(s[1])))
+    model = str(cfg.mpc.model)
+    model_consts = None
+    if model == "props":
+        model_consts = props_consts_from_cfg(cfg)
+        # warm-start input = normalized hover speed (the framework's
+        # documented intent-fix of reference quad_props.py:52, which stores
+        # the RAW speed wh against a normalized [0,1] input box)
+        u_hover = np.full(4, model_consts["wh"] / lim["wp"])
+        lbu = np.zeros(4)
+        ubu = np.ones(4)
+    else:
+        u_hover = np.array([GRAVITY / lim["gamma"], 0, 0, 0])
+        lbu = np.array([0.0, -1, -1, -1])
+        ubu = np.array([1.0, 1, 1, 1])
     return OracleOcp(
         N=int(cfg.mpc.N),
         dt=np.diff(nodes),
         lim=lim,
-        u_hover=np.array([GRAVITY / lim["gamma"], 0, 0, 0]),
-        lbu=np.array([0.0, -1, -1, -1]),
-        ubu=np.array([1.0, 1, 1, 1]),
+        u_hover=u_hover,
+        lbu=lbu,
+        ubu=ubu,
         lm=float(cfg.mpc.lm_reg),
         size_latent=int(cfg.nn.size_latent),
         flags=flags,
@@ -381,8 +500,9 @@ def build_oracle_ocp(cfg, flax_params=None, sdf_max_df=1.0, bdist_coeffs=None,
         bound_margin=float(cfg.mpc.bound_margin),
         vel_lims=(lim["vx"], lim["vy"], lim["vz"]),
         yN_gated=flags["enable_sdf"] and flags["recursive_feasibility"] and flags["stability"],
-        model=str(cfg.mpc.model),
+        model=model,
         sdf_proj=sdf_proj, sdf_w0=float(sdf_w0), sdf_nb_freqs=int(sdf_nb_freqs),
+        model_consts=model_consts,
     )
 
 
@@ -509,7 +629,8 @@ def rti_tick(oc: OracleOcp, x0, p, yref_row, W_row, lm_convention="acados", X=No
     terminal uses the first nyN entries.
     """
     N = oc.N
-    nx, nu = 10, 4
+    md = ORACLE_MODELS[oc.model]
+    nx, nu = md["nx"], 4
     nz = N * nu
     if X is None:
         X = np.tile(np.asarray(x0, np.float64), (N + 1, 1))
@@ -523,7 +644,7 @@ def rti_tick(oc: OracleOcp, x0, p, yref_row, W_row, lm_convention="acados", X=No
     A = np.zeros((N, nx, nx))
     Bm = np.zeros((N, nx, nu))
     defect = np.zeros((N, nx))
-    ny = 11
+    ny = md["ny"]
     res = np.zeros((N, ny))
     Jyx = np.zeros((N, ny, nx))
     Jyu = np.zeros((N, ny, nu))
@@ -535,18 +656,19 @@ def rti_tick(oc: OracleOcp, x0, p, yref_row, W_row, lm_convention="acados", X=No
     Jhu = np.zeros((N, nh, nu))
 
     yref = np.asarray(yref_row, np.float64)[:ny]
-    model_f, model_y = ORACLE_MODELS[oc.model]
+    model_f = lambda a, b: md["f"](a, b, oc)
+    model_y = lambda xv, uv, q_d: md["y"](xv, uv, q_d, oc)
     for k in range(N):
         xk, uk = tt(X[k]), tt(U[k])
         dtk = float(oc.dt[k])
-        fwd = lambda xv, uv: erk4(lambda a, b: model_f(a, b, oc.lim), xv, uv, dtk)
+        fwd = lambda xv, uv: erk4(model_f, xv, uv, dtk)
         x_next = fwd(xk, uk)
         Ak, Bk = _jac(fwd, (xk, uk))
         A[k], Bm[k] = Ak.numpy(), Bk.numpy()
         defect[k] = x_next.numpy() - X[k + 1]
 
         _, _, _, q_d, _ = _p_parts(p[k], oc.size_latent)
-        yfn = lambda xv, uv: model_y(xv, uv, q_d, oc.lim)
+        yfn = lambda xv, uv: model_y(xv, uv, q_d)
         res[k] = yfn(xk, uk).numpy() - yref
         Jx, Ju = _jac(yfn, (xk, uk))
         Jyx[k], Jyu[k] = Jx.numpy(), Ju.numpy()
@@ -569,7 +691,7 @@ def rti_tick(oc: OracleOcp, x0, p, yref_row, W_row, lm_convention="acados", X=No
     has_stab_row = oc.flags["enable_sdf"] and oc.flags["recursive_feasibility"] and oc.flags["stability"]
 
     def yNfn(xv):
-        out = att_yN(xv, q_dN, flagN, oc.yN_gated)
+        out = md["yN"](xv, q_dN, flagN, oc.yN_gated, oc)
         if has_stab_row:
             out = torch.cat([out, (flagN * torch.dot(xv[7:10], xv[7:10]))[None]])
         return out

@@ -140,3 +140,33 @@ def test_contract_accuracy_on_hardware():
     out = accuracy.check_accuracy()
     assert out["n_ok"] == out["n_scen"], out
     assert out["u0_max_err"] <= 1e-3, out
+
+
+@pytest.mark.parametrize("budget", ["warm", "steady"])
+def test_contract_warm_steady_on_hardware(budget):
+    """Warm AND steady budgets hold the <=1e-3 contract on the chip (VERDICT
+    r3 item 3): the steady budget sits one iteration above a measured accuracy
+    cliff (15/6 -> 3.9e-4 but 14/8 -> 1.1e-3, docs/performance.md), so the
+    gate must live in the lane, not only in the driver-run bench artifact."""
+    from sdf_nmpc_tpu.utils import accuracy
+
+    out = accuracy.check_warm_accuracy(budget=budget)
+    assert out["n_ok"] == out["n_solves"], out
+    assert out["u0_max_err"] <= 1e-3, out
+
+
+def test_riccati_regime_contract_on_hardware():
+    """N=40 (qp_backend auto -> riccati) holds the <=1e-3 contract on the
+    chip against the independent-oracle golden (VERDICT r3 item 5)."""
+    from pathlib import Path
+
+    from sdf_nmpc_tpu.utils import accuracy
+
+    gold_npz = accuracy.REF_NPZ.parent / "oracle_u0.npz"
+    gold = np.load(gold_npz)
+    if "n40_u0" not in gold:
+        pytest.skip("n40 oracle goldens not generated")
+    u0, status = accuracy.solve_batch(n=8, N=40)
+    assert (status == 0).all()
+    err = np.abs(u0 - gold["n40_u0"]).max()
+    assert err <= 1e-3, f"n40 riccati on-hw vs oracle {err:.2e}"
