@@ -112,8 +112,14 @@ class DfComputer:
 
         n = points.shape[0]
         mins, args = [], []
-        fn = jax.jit(partial(_sdf_chunk, colcheck=self.colcheck, grid=self.grid,
-                             distances=self.distances, max_df=self.max_df))
+        # cache the jitted chunk fn on the instance: a fresh jit(partial(...))
+        # per call would discard the trace cache every get_df (retrace + XLA
+        # cache lookup per training batch — expensive through the TPU tunnel)
+        fn = getattr(self, "_sdf_chunk_jit", None)
+        if fn is None:
+            fn = jax.jit(partial(_sdf_chunk, colcheck=self.colcheck, grid=self.grid,
+                                 distances=self.distances, max_df=self.max_df))
+            self._sdf_chunk_jit = fn
         for i in range(0, n, self.batch_size):
             sl = slice(i, min(i + self.batch_size, n))
             md, ai = fn(imgs, points[sl], p_to_i[sl], sign_bool[sl])

@@ -98,7 +98,11 @@ def load_prod_encoder(weights_dir=None, expect_img=None, strict=False):
             warnings.warn(msg)
     from .vae import Encoder
 
-    module = Encoder(1, meta["size_latent"], dropout_rate=0.0, batchnorm=False)
+    # batchnorm=True encoders (the reference-regime h5+augment training,
+    # scripts/train_prod_perception.py) ship running batch_stats inside the
+    # msgpack; the pre-r4 train_latent_sdf artifacts were batchnorm-free
+    module = Encoder(1, meta["size_latent"], dropout_rate=0.0,
+                     batchnorm=bool(meta.get("batchnorm", False)))
     return module, _restore(d / "vae_encoder.msgpack"), meta
 
 

@@ -92,134 +92,6 @@ def _merit(qp, lh, uh, z):
     return f + _BIG * jnp.sum(jnp.abs(z - zc))
 
 
-def polish_qp(
-    qp: QpData,
-    dz: jax.Array,
-    duals: QpDuals,
-    k_max: int = 40,
-    delta: float = 1e-6,
-    ir_steps: int = 2,
-    chol_impl: str = "auto",
-) -> jax.Array:
-    """Active-set polish of an interior-point iterate (OSQP-style).
-
-    The fixed-budget IP identifies WHICH constraints are active long before
-    its iterate is accurate — in f32 the barrier floors (mu_min, gap
-    cancellation, ratio caps) leave O(1e-2) error on hard instances that no
-    amount of iterations or iterative refinement removes (measured,
-    docs/performance.md).  Polish instead solves the equality-constrained
-    KKT system on the classified active set EXACTLY:
-
-        [ H     -Cs^T ] [z]   [-g  ]      Cs = signed active rows
-        [ Cs     D    ] [y] = [rhs ]      D  = 1/z2 (slack-engaged soft row),
-                                               delta (hard-active row)
-
-    via a Schur complement on the k_max selected rows: S = Cs H^-1 Cs^T + D
-    is SPD with benign conditioning (no barrier terms anywhere), so the f32
-    factorizations are accurate; two refinement sweeps push the augmented
-    residual to roundoff.  Classification per row/side: active if dual > gap
-    (ratio > 1); slack engaged if dual > z1 (KKT: lam = z1 + z2*s when s>0).
-    Inert slots are padded with an identity row so shapes stay static.
-
-    Returns the polished z ONLY — callers pick min-merit(_merit) vs the IP
-    iterate, so a misclassified active set can never make the result worse.
-    vmap over a leading batch axis for scenarios.
-    """
-    if chol_impl == "auto":
-        chol_impl = "custom" if jax.default_backend() == "tpu" else "xla"
-    use_custom = chol_impl == "custom"
-    dtype = qp.g.dtype
-    nz = qp.g.shape[0]
-    nc = qp.c0.shape[0]
-    tiny = jnp.asarray(jnp.finfo(dtype).tiny**0.5, dtype)
-
-    lh = jnp.maximum(qp.lh, -_BIG)
-    uh = jnp.minimum(qp.uh, _BIG)
-
-    # ---- candidate rows: (lower, upper) x (general, box) ----
-    bl = jnp.maximum(dz - qp.lb, tiny)
-    bu = jnp.maximum(qp.ub - dz, tiny)
-    if nc:
-        w = qp.c0 + qp.C @ dz
-        tl = jnp.maximum(w + duals.sl - lh, tiny)
-        tu = jnp.maximum(uh + duals.su - w, tiny)
-        score_gen = jnp.concatenate([duals.lam_l / tl, duals.lam_u / tu])
-        eng_l = (duals.lam_l > qp.z1) & (qp.z2 > 0)
-        eng_u = (duals.lam_u > qp.z1) & (qp.z2 > 0)
-        safe_z2 = jnp.where(qp.z2 > 0, qp.z2, 1.0)
-        d_gen = jnp.concatenate(
-            [
-                jnp.where(eng_l, 1.0 / safe_z2, delta),
-                jnp.where(eng_u, 1.0 / safe_z2, delta),
-            ]
-        )
-        rhs_gen = jnp.concatenate(
-            [
-                (lh - qp.c0) + jnp.where(eng_l, qp.z1 / safe_z2, 0.0),
-                -(uh - qp.c0) + jnp.where(eng_u, qp.z1 / safe_z2, 0.0),
-            ]
-        )
-    else:
-        score_gen = jnp.zeros(0, dtype)
-        d_gen = jnp.zeros(0, dtype)
-        rhs_gen = jnp.zeros(0, dtype)
-    score = jnp.concatenate(
-        [score_gen, duals.nu_l / bl, duals.nu_u / bu]
-    )  # (2nc + 2nz,)
-    d_all = jnp.concatenate(
-        [d_gen, jnp.full(nz, delta, dtype), jnp.full(nz, delta, dtype)]
-    )
-    rhs_all = jnp.concatenate([rhs_gen, qp.lb, -qp.ub])
-
-    k_max = min(k_max, 2 * nc + 2 * nz)
-    active = score > 1.0
-    _, idx = jax.lax.top_k(jnp.where(active, score, -jnp.inf), k_max)
-    sel_active = jnp.take(active, idx)
-
-    # gather signed rows without materializing the (2nc+2nz, nz) stack
-    is_gen = idx < 2 * nc
-    gidx = jnp.where(is_gen, idx % max(nc, 1), 0)
-    sign = jnp.where((idx < nc) | ((idx >= 2 * nc) & (idx < 2 * nc + nz)), 1.0, -1.0)
-    bidx = jnp.clip(idx - 2 * nc, 0, 2 * nz - 1) % nz
-    rows_gen = qp.C[gidx] if nc else jnp.zeros((k_max, nz), dtype)
-    rows_box = jax.nn.one_hot(bidx, nz, dtype=dtype)
-    Cs = sign[:, None] * jnp.where(is_gen[:, None], rows_gen, rows_box)
-    Cs = jnp.where(sel_active[:, None], Cs, 0.0)
-    D = jnp.where(sel_active, jnp.take(d_all, idx), 1.0)
-    rhs = jnp.where(sel_active, jnp.take(rhs_all, idx), 0.0)
-
-    # ---- Schur solve on the active set ----
-    jitter = 10 * jnp.finfo(dtype).eps * (1.0 + jnp.max(jnp.abs(jnp.diag(qp.H))))
-    Hj = qp.H + jitter * jnp.eye(nz, dtype=dtype)
-    if use_custom:
-        Hf, n_orig = spd_factor_batched(Hj)
-        h_solve = lambda b: spd_factor_solve(Hf, n_orig, b)
-    else:
-        Lh = jnp.linalg.cholesky(Hj)
-        h_solve = lambda b: jax.scipy.linalg.cho_solve((Lh, True), b)
-
-    X = jax.vmap(h_solve)(Cs)  # (k, nz): H^-1 Cs_i
-    S = Cs @ X.T + jnp.diag(D)
-    S = 0.5 * (S + S.T)
-    if use_custom:
-        Sf, s_orig = spd_factor_batched(S)
-        s_solve = lambda b: spd_factor_solve(Sf, s_orig, b)
-    else:
-        Ls = jnp.linalg.cholesky(S)
-        s_solve = lambda b: jax.scipy.linalg.cho_solve((Ls, True), b)
-
-    hg = h_solve(qp.g)
-    y = s_solve(rhs + Cs @ hg)
-    z = h_solve(Cs.T @ y - qp.g)
-    for _ in range(ir_steps):
-        r1 = -(qp.H @ z + qp.g - Cs.T @ y)
-        r2 = rhs - (Cs @ z + D * y)
-        dy = s_solve(r2 - Cs @ h_solve(r1))
-        z = z + h_solve(r1 + Cs.T @ dy)
-        y = y + dy
-    return jnp.where(jnp.all(jnp.isfinite(z)), z, dz)
-
-
 def _mu_of(qp, lh, uh, w, dz, sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u, n_terms):
     """Average complementarity.  w = c0 + C @ dz is passed in — every caller
     already holds it (or an exact linear update of it), so no matvec here."""
@@ -245,8 +117,6 @@ def solve_qp(
     ir_steps: int = 1,
     compute_dtype=None,
     ratio_cap_override: float = None,
-    polish: bool = False,
-    polish_k: int = 40,
     k_stiff: int = 16,
     stiff_iters: int = None,
 ) -> QpResult:
@@ -276,7 +146,7 @@ def solve_qp(
         # Mehrotra iteration runs VMEM-resident, 22.8k -> 28.6k solves/s over
         # the composed per-piece kernels at production batch
         # (docs/performance.md).  Unsupported configurations (f64, warm
-        # duals, polish, ir_steps) fall back to the composed 'pallas' path
+        # duals, ir_steps) fall back to the composed 'pallas' path
         # below, and unbatched (B=1) calls take the custom_vmap primal —
         # XLA Cholesky, the B=1 winner — so 'fused' is safe at every batch.
         chol_impl = "fused" if jax.default_backend() == "tpu" else "xla"
@@ -290,7 +160,6 @@ def solve_qp(
             jnp.dtype(qp.g.dtype) == jnp.float32
             and warm_duals is None
             and compute_dtype is None
-            and not polish
             and ir_steps == 0
             and qp.c0.shape[0] > 0
             # the fused kernel's stiff pass needs 8-aligned k (sublane
@@ -754,8 +623,7 @@ def solve_qp(
 
     duals = QpDuals(sl, su, lam_l, lam_u, gam_l, gam_u, nu_l, nu_u)
     # kkt reported on the IP iterate (pure IP convergence diagnostic, the
-    # acados QP-status analogue) even when polish replaces the solution.
-    # Algorithmic duals on rows whose gap sits at the floating-point floor
+    # acados QP-status analogue).  Algorithmic duals on rows whose gap sits at the floating-point floor
     # can exceed their KKT bound lam <= z1 + z2*s (from the slack
     # stationarity row with gam >= 0); clamping to that bound keeps the
     # report's cancellation noise at the problem's own scale.  The hard box
@@ -765,16 +633,6 @@ def solve_qp(
     lam_u_r = jnp.minimum(lam_u, z1 + z2 * su)
     grad_lag = qp.H @ dz + qp.g - qp.C.T @ (lam_l_r - lam_u_r)
     kkt = jnp.max(jnp.abs(dz - jnp.clip(dz - grad_lag, qp.lb, qp.ub)))
-    if polish:
-        # active-set polish (see polish_qp): exact KKT solve on the
-        # classified active set, kept only if it improves the exact
-        # penalized objective — removes the f32 IP floor at ~1 extra
-        # factorization of cost, and makes a small iteration budget accurate
-        k = min(polish_k, 2 * nc + 2 * nz)
-        dz_p = polish_qp(qp, dz, duals, k_max=k, chol_impl=chol_impl)
-        dz_p = jnp.clip(dz_p, qp.lb, qp.ub)
-        better = _merit(qp, lh, uh, dz_p) < _merit(qp, lh, uh, dz)
-        dz = jnp.where(better, dz_p, dz)
     return QpResult(
         dz=dz, kkt_residual=kkt, complementarity=mu,
         duals=duals,

@@ -185,32 +185,6 @@ def test_stiff_rows_f32_accuracy():
     assert err < err_ns / 3, (err, err_ns)
 
 
-def test_polish_exact_on_clean_active_sets():
-    """polish_qp recovers the exact solution when the active set is clean:
-    engaged soft rows, kink (hard-active) rows, and active box bounds."""
-    from sdf_nmpc_tpu.solver.qp import polish_qp
-
-    cases = [
-        # (C, lh, uh, z1, z2, expect) for H=I, g=(-1,-1): soft upper engaged
-        (np.array([[1.0, 0.0]]), [-1e9], [0.5], [0.1], [1.0], [0.7, 1.0]),
-        # kink upper: big L1 weight -> exact boundary
-        (np.array([[1.0, 0.0]]), [-1e9], [0.5], [10.0], [100.0], [0.5, 1.0]),
-    ]
-    for C, lh, uh, z1, z2, expect in cases:
-        qp = _qp(np.eye(2), [-1.0, -1.0], C, np.zeros(1), lh, uh, z1, z2,
-                 -10 * np.ones(2), 10 * np.ones(2))
-        res = solve_qp(qp, iters=40)
-        dz_p = polish_qp(qp, res.dz, res.duals, k_max=4, chol_impl="xla")
-        np.testing.assert_allclose(np.asarray(dz_p), expect, atol=5e-6)
-    # active box bound
-    qp = _qp(np.eye(2), [-1.0, -1.0], lb=-np.ones(2), ub=np.array([0.25, 10.0]))
-    res = solve_qp(qp, iters=40)
-    from sdf_nmpc_tpu.solver.qp import polish_qp as _p
-
-    dz_p = _p(qp, res.dz, res.duals, k_max=4, chol_impl="xla")
-    np.testing.assert_allclose(np.asarray(dz_p), [0.25, 1.0], atol=5e-6)
-
-
 def test_best_iterate_monotone_in_budget():
     """Extra iterations can only help (best-merit iterate is returned)."""
     n, nc = 8, 6
