@@ -66,16 +66,55 @@ class ImageDataset:
         label = jnp.where(img > 0, label, 0.0)
         return img, label
 
+    def _batched_fn(self):
+        """One jitted (preprocess -> augment -> col_map -> mask) pass for a
+        whole batch.  The per-item __getitem__ path issues ~10 small device
+        ops per image — fine locally, but through a remote-device tunnel the
+        dispatch latency dominates an epoch; this path is one dispatch per
+        batch with identical per-item semantics."""
+        fn = getattr(self, "_batched_jit", None)
+        if fn is not None:
+            return fn
+
+        def run(raw, keys, aug_mask):
+            img = jax.vmap(self.preprocess)(raw)
+            label = img
+            if self.augment is not None:
+                a_img, a_label = jax.vmap(self.augment)(keys, img)
+                m = aug_mask[:, None, None, None]
+                img = jnp.where(m, a_img, img)
+                label = jnp.where(m, a_label, label)
+            if self.col_mapping is not None:
+                label = jax.vmap(self.col_mapping)(label)
+            label = jnp.where(img > 0, label, 0.0)
+            return img, label
+
+        fn = jax.jit(run)
+        self._batched_jit = fn
+        return fn
+
     def batches(self, batch_size, key=None, shuffle=False):
         order = np.arange(len(self))
         if shuffle:
             assert key is not None
             order = np.asarray(jax.random.permutation(key, len(self)))
+        fn = self._batched_fn()
         for i in range(0, len(order), batch_size):
-            items = [self[int(j)] for j in order[i : i + batch_size]]
-            imgs = jnp.stack([a for a, _ in items])
-            labels = jnp.stack([b for _, b in items])
-            yield imgs, labels
+            sel = order[i : i + batch_size]
+            raw = np.stack(
+                [np.asarray(self.imgs[self.idx[int(j)]], np.float32) for j in sel]
+            )
+            keys = []
+            for j in sel:
+                if self.augment is not None and int(j) in self.augment_idx:
+                    self._key, sub = jax.random.split(self._key)
+                    keys.append(sub)
+                else:
+                    keys.append(self._key)  # unused lane (masked out)
+            aug_mask = np.array(
+                [self.augment is not None and int(j) in self.augment_idx for j in sel]
+            )
+            yield fn(jnp.asarray(raw), jnp.stack(keys), jnp.asarray(aug_mask))
 
 
 def _prepare_dataset(h5file, train, dmax, vae, col_map):

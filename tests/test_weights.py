@@ -61,3 +61,40 @@ def test_encoder_and_latents(tmp_path):
     lat = load_prod_latents(tmp_path)
     assert lat.shape == (40, 8) and lat[1, 0] == 8.0
     assert load_prod_latents(tmp_path / "nope") is None
+
+
+def test_batchnorm_encoder_roundtrip(tmp_path):
+    """meta batchnorm=true artifacts (the h5+augment production training,
+    scripts/train_prod_perception.py) restore with their running stats."""
+    latent = 8
+    enc = Encoder(1, latent, dropout_rate=0.0, batchnorm=True)
+    evars = enc.init(jax.random.PRNGKey(1), jnp.zeros((1, 24, 32, 1)))
+    evars = jax.tree.map(lambda x: x, evars)  # plain dict copy
+    (tmp_path / "vae_encoder.msgpack").write_bytes(serialization.to_bytes(
+        {"params": evars["params"], "batch_stats": evars["batch_stats"]}
+    ))
+    (tmp_path / "meta.json").write_text(
+        json.dumps(dict(size_latent=latent, layer_sizes=[16] * 4,
+                        img="24x32", batchnorm=True))
+    )
+    enc2, evars2, meta = load_prod_encoder(tmp_path)
+    assert enc2.batchnorm is True
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(1, 24, 32, 1)),
+                    jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(enc.apply(evars, x)), np.asarray(enc2.apply(evars2, x)),
+        rtol=1e-6,
+    )
+
+
+def test_encoder_resolution_gate(tmp_path):
+    _write_artifacts(tmp_path)
+    (tmp_path / "meta.json").write_text(
+        json.dumps(dict(size_latent=8, layer_sizes=[16] * 4, img="24x32"))
+    )
+    import pytest
+
+    assert load_prod_encoder(tmp_path, expect_img=(24, 32)) is not None
+    with pytest.warns(UserWarning):
+        assert load_prod_encoder(tmp_path, expect_img=(48, 64),
+                                 strict=True) is None
