@@ -622,6 +622,13 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True,
             lb=(lbu[None, :] - U).reshape(nz),
             ub=(ubu[None, :] - U).reshape(nz),
         )
+        if bool(cfg.solver.get("qp_data_bf16", False)):
+            # numerics-attribution hook: simulate bf16 STORAGE of the QP
+            # matrices (the fused kernel's HBM-traffic lever) while every
+            # computation stays f32 — measures the accuracy cost of halving
+            # the H/C read traffic before committing to a kernel change
+            rnd = lambda a: a.astype(jnp.bfloat16).astype(dtype)
+            qp = qp._replace(H=rnd(qp.H), C=rnd(qp.C))
         dual_ws = bool(cfg.solver.get("dual_warm_start", False))
         # the QP interior point is the precision-sensitive region (barrier
         # ratios spanning ~1e10 meet the factorization); it can be pinned to a
