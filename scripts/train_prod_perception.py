@@ -150,6 +150,7 @@ def stage_df(args):
     cfg = DfTrainConfig(
         dmax=DMAX, nb_epochs=args.df_epochs, batch_size=args.df_batch,
         points_per_img=args.points_per_img,
+        lr_start=args.df_lr, lr_nb_steps=args.df_lr_steps,
     )
     out = Path(args.workdir) / f"df_ckpt_{'_'.join(map(str, args.layers))}"
     out.mkdir(parents=True, exist_ok=True)
@@ -191,7 +192,9 @@ def _load_trained(args):
                   embed="oct", act="sin", w0=args.w0, dropout_rate=0.0)
     df_template = df.init(key, jnp.zeros(3 + args.latent), train=False)
     df_dir = Path(args.workdir) / f"df_ckpt_{'_'.join(map(str, args.layers))}"
-    df_blob = (df_dir / "weights.msgpack").read_bytes()
+    ep = getattr(args, "df_ckpt_epoch", None)
+    ck = "weights.msgpack" if ep is None else f"epochs/e{ep}.msgpack"
+    df_blob = (df_dir / ck).read_bytes()
     # train_df checkpoints the FULL flax variables dict under "params"
     df_restored = serialization.from_bytes(
         {"params": df_template, "opt_state": None, "batch_stats": {}},
@@ -322,6 +325,12 @@ def main():
     ap.add_argument("--vae-batch", type=int, default=16)
     ap.add_argument("--df-epochs", type=int, default=40)
     ap.add_argument("--df-batch", type=int, default=16)
+    # the reference trains 200 epochs at 5e-5 (df_train.py); a compressed
+    # epoch budget takes a proportionally hotter cosine schedule
+    ap.add_argument("--df-lr", type=float, default=5e-5)
+    ap.add_argument("--df-lr-steps", type=int, default=20)
+    ap.add_argument("--df-ckpt-epoch", type=int, default=None,
+                    help="save/eval from this epoch checkpoint (default: latest)")
     ap.add_argument("--points-per-img", type=int, default=2500)
     ap.add_argument("--restart-from-epoch", type=int, default=0)
     ap.add_argument("--smoke", action="store_true",
@@ -335,6 +344,10 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    from sdf_nmpc_tpu.utils.xla_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # restarts skip the multi-minute TPU compiles
 
     if args.smoke:
         args.img = "45x80"
