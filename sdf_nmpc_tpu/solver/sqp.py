@@ -46,15 +46,17 @@ def resolve_stiff_knobs(cfg):
     The standard sdf OCP meets the 1e-3 contract with the cheap split
     (k_stiff 8, 8 stiff iterations); the recursive-feasibility OCP adds 8
     simultaneously-active hard terminal rows (rec-feas + braking-endpoint
-    FoV + stability velocity bounds) and measurably needs the wide split
-    (k 32, 16 stiff iterations) — 3.5e-3 vs 4.8e-4 worst-case u0 at k16/k32
-    (docs/performance.md round-3 study).  'auto' picks by
-    cfg.flags.recursive_feasibility so each formulation gets defaults that
-    pass its own gate."""
+    FoV + stability velocity bounds) and measurably needs the wide split —
+    3.5e-3 vs 4.8e-4 worst-case u0 at k16/k32 (docs/performance.md round-3
+    study), and with the round-4 trained weights the worst scenario carries
+    more near-active rows still: k32 floors at 1.03e-3 on hardware while k48
+    gives 1.46e-4 (round-4 sweep), iteration count having no effect.  'auto'
+    picks by cfg.flags.recursive_feasibility so each formulation gets
+    defaults that pass its own gate."""
     rf = bool(cfg.flags.recursive_feasibility)
     k = cfg.solver.get("qp_stiff_k", "auto")
     if k in (None, "auto"):
-        k = 32 if rf else 8
+        k = 48 if rf else 8
     si = cfg.solver.get("qp_stiff_iters", "auto")
     if si == "auto":
         si = 16 if rf else 8

@@ -49,7 +49,7 @@ class TestStiffKnobs:
 
     def test_auto_rf(self, cfg):
         k, si, _ = resolve_stiff_knobs(_rf(cfg))
-        assert (k, si) == (32, 16)
+        assert (k, si) == (48, 16)
 
     def test_none_means_all_iterations(self, cfg):
         # explicit null = run the stiff split on every iteration; must pass
