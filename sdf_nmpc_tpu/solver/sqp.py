@@ -72,8 +72,9 @@ def resolve_iter_budget(cfg, budget: str) -> int:
     """Total IP iterations for a budget phase, flags-adaptive 'auto'.
 
     The standard sdf OCP's measured floors (on-hw prod-scale study,
-    docs/performance.md round 3): cold 20, warm 18, steady 15 (with 6 stiff
-    iterations — 14 is the accuracy cliff at 1.1e-3).  The rec-feas OCP
+    docs/performance.md round 3): cold 20, warm 18, steady 15 (with 4 stiff
+    iterations since the r4 sweep — 14 total is the accuracy cliff at
+    1.1e-3).  The rec-feas OCP
     needs the round-2 budgets (cold 26, warm 22, steady = warm) — at cold 20
     its worst scenario sits at 3.4e-3 vs 4.8e-4 at 26."""
     rf = bool(cfg.flags.recursive_feasibility)
@@ -221,10 +222,12 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True,
     if budget == "steady":
         ss = cfg.solver.get("qp_stiff_iters_steady", "auto")
         if ss == "auto":
-            # auto = 6 (trained-weights on-hw replay, with the 15-iter steady
-            # budget) unless rec-feas (keep the warm stiff count) or the user
-            # overrode the inherited knob to None ('split every iteration')
-            # or 0 ('split off') — inherit those instead of re-tuning them.
+            # auto = 4 (r4 on-hw replay with the trained weights: 15/4 holds
+            # max 3.6e-4 — identical to 15/6 — while each stiff->warm swap
+            # saves ~2.4 ms at B=8192) unless rec-feas (keep the warm stiff
+            # count) or the user overrode the inherited knob to None ('split
+            # every iteration') or 0 ('split off') — inherit those instead
+            # of re-tuning them.
             if (
                 bool(cfg.flags.recursive_feasibility)
                 or qp_stiff_iters is None
@@ -232,7 +235,7 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True,
             ):
                 ss = qp_stiff_iters
             else:
-                ss = 6
+                ss = 4
         qp_stiff_iters = None if ss is None else int(ss)
     # qp_ratio_cap is an f32 remedy (mild-row bias at the f32 dtype
     # default cap; docs/performance.md): f64 runs keep the dtype default

@@ -80,11 +80,11 @@ class TestSteadyStiffResolution:
             ):
                 ss = qp_stiff_iters
             else:
-                ss = 6
+                ss = 4
         return None if ss is None else int(ss)
 
-    def test_auto_six(self, cfg):
-        assert self._steady_stiff(cfg) == 6
+    def test_auto_four(self, cfg):
+        assert self._steady_stiff(cfg) == 4
 
     def test_rf_inherits_warm(self, cfg):
         # default.yaml pins qp_stiff_iters_warm: 8; rf steady inherits it
