@@ -88,9 +88,18 @@ def stage_data(args):
             for j in range(poses_per_scene):
                 if j == 0:
                     p, R = np.zeros(3, np.float32), np.eye(3, dtype=np.float32)
-                else:
-                    # small pose jitter: more latent diversity per scene while
-                    # keeping the blocking obstacle inside the frustum
+                elif args.pose_mode == "traj":
+                    # trajectory-sampled viewpoints: poses along the flight
+                    # corridor toward the goal region, the distribution the
+                    # REFRESH deployment mode re-encodes from.  The r4
+                    # origin-jitter data left mid-flight viewpoints out of
+                    # distribution and the refresh closed-loop collided 7/8
+                    # (docs/performance.md round-4 closed-loop table).
+                    p = rng.uniform(
+                        [0.0, -0.6, -0.35], [2.8, 0.6, 0.35]
+                    ).astype(np.float32)
+                    R = yaw_rot(rng.uniform(-0.45, 0.45))
+                else:  # 'jitter': small pose jitter around the origin
                     p = rng.uniform([-0.3, -0.3, -0.15], [0.3, 0.3, 0.15]).astype(np.float32)
                     R = yaw_rot(rng.uniform(-0.15, 0.15))
                 rng01 = np.asarray(render(sc, jnp.asarray(p), jnp.asarray(R)))
@@ -318,6 +327,10 @@ def main():
     ap.add_argument("--scenes", type=int, default=256)
     ap.add_argument("--test-scenes", type=int, default=8)
     ap.add_argument("--poses", type=int, default=2, help="camera poses per scene")
+    ap.add_argument("--pose-mode", choices=["jitter", "traj"], default="traj",
+                    help="extra-pose distribution: 'traj' samples the flight "
+                         "corridor (covers the refresh deployment mode); "
+                         "'jitter' is the r4 near-origin fallback")
     ap.add_argument("--latent", type=int, default=128)
     ap.add_argument("--layers", type=int, nargs="+", default=[256, 256, 256, 256])
     ap.add_argument("--w0", type=float, default=20.0)
