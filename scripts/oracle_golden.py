@@ -122,6 +122,10 @@ def main():
             # third family (VERDICT r3 item 4): per-rotor full rigid-body
             # dynamics + GTMRP allocation (reference quad_props.py:41-48)
             ("props", "sdf", "props", 8),
+            # remaining families (round 4): all six quad models oracle-covered
+            ("rates", "sdf", "rates", 8),
+            ("wrench", "sdf", "wrench", 8),
+            ("acc", "sdf", "acc", 8),
         ):
             u0s, opts = _oracle_u0(variant, n, model=model)
             out[f"{key}_u0"] = u0s
@@ -148,10 +152,10 @@ def main():
         print(f"n40: worst qp optimality {opts.max():.1e} -> {GOLD}")
         return
 
-    if mode in ("tau", "props"):
+    if mode in ("tau", "props", "rates", "wrench", "acc"):
         # regenerate only one model family's keys (cheap incremental add)
         out = {k: v for k, v in np.load(GOLD).items()}
-        u0s, opts = _oracle_u0("sdf", 8, model="att_tau" if mode == "tau" else "props")
+        u0s, opts = _oracle_u0("sdf", 8, model={"tau": "att_tau"}.get(mode, mode))
         out[f"{mode}_u0"], out[f"{mode}_opt"] = u0s, opts
         np.savez(GOLD, **out)
         print(f"{mode}: worst qp optimality {opts.max():.1e} -> {GOLD}")

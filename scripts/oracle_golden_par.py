@@ -36,6 +36,10 @@ SPECS = {
     "recfeas": ("recfeas", None, None, 8),
     "tau": ("sdf", "att_tau", None, 8),
     "props": ("sdf", "props", None, 8),
+    # remaining families (round 4): reference-dead models the framework wires
+    "rates": ("sdf", "rates", None, 8),
+    "wrench": ("sdf", "wrench", None, 8),
+    "acc": ("sdf", "acc", None, 8),
     "n40": ("sdf", None, 40, 8),
 }
 

@@ -95,7 +95,12 @@ def make_model(cfg) -> ModelSpec:
         f=f,
         y=y,
         yN=yN,
-        u_hover=np.array([GRAVITY, 0.0, 0.0, 0.0]),
+        # Intent fix (same class as the props hover fix): reference
+        # quad_wrench.py:28 stores the RAW g against the normalized [0, 1]
+        # thrust box (gamma limit scales u[0]); the raw value sits 9x outside
+        # the box and makes the first-tick QP so badly scaled that an IP
+        # solver needs ~100 iterations to converge.  Normalized hover thrust:
+        u_hover=np.array([GRAVITY / lim.gamma, 0.0, 0.0, 0.0]),
         lbu=np.array([0.0, -1.0, -1.0, -1.0]),
         ubu=np.array([1.0, 1.0, 1.0, 1.0]),
         formate_ref=formate_ref,

@@ -113,7 +113,8 @@ def build_setup(dtype_cfg=None, variant: str = "sdf", model: str = None,
              'recfeas' -- recursive_feasibility + stability terminal
                           ingredients (gen_model.py:73-149)
     model: cfg.mpc.model override (None = the default 'att'); the oracle
-    covers 'att_tau' and 'props' as independently-checked formulations.
+    covers every other family ('att_tau', 'props', 'rates', 'wrench', 'acc')
+    as independently-checked formulations.
     N: cfg.mpc.N horizon override (None = the reference 20).  N=40 puts the
     solver in the regime qp_backend='auto' resolves to the Riccati backend
     (VERDICT r3 item 5; the reference grid is configurable, ocp.py:21-27).
@@ -129,6 +130,13 @@ def build_setup(dtype_cfg=None, variant: str = "sdf", model: str = None,
     cfg = default_config().replace(nn=dict(size_latent=LATENT))
     if model is not None:
         cfg = cfg.replace(mpc=dict(model=model))
+    if model == "wrench" and float(cfg.robot.limits.torques) == 0.0:
+        # The reference ships ``torques: 0`` (config/default.yaml:107) because
+        # the wrench model is factory-dead there (gen_model.py:19); a zero
+        # limit zeroes the rotational input columns of B and degenerates the
+        # parity check to LM regularization.  Use a representative limit so
+        # the workload actually exercises the torque channels.
+        cfg = cfg.replace(robot=dict(limits=dict(torques=2.0)))
     if N is not None:
         # keep T growing with N so per-interval dt (and the solve's numerical
         # character) stays comparable to the reference grid

@@ -298,6 +298,119 @@ def props_yN(x, q_d, flag, gated, oc):
     return out * flag if gated else out
 
 
+# ---------------------------------------------------------------------------
+# rates model (reference model/quad_rates.py:20-47): BODY-frame velocity
+# state (nx=10: p, q, v_body), inputs (gamma, wx, wy, wz); dp = R v,
+# dv = R' (0,0,-g) + (0,0,gamma); y = (p, eta[:2], q_e[3], R v, w) ny=12;
+# terminal drops w (nyN=9, never flag-gated).  The reference factory leaves
+# this model dead (gen_model.py:18) — the framework wires it, so the oracle
+# anchors it here.
+# ---------------------------------------------------------------------------
+
+
+def _rates_w(u, lim):
+    return torch.stack([u[1] * lim["wx"], u[2] * lim["wy"], u[3] * lim["wz"]])
+
+
+def rates_f(x, u, lim):
+    _, q, v = _split_norm(x)
+    gamma = u[0] * lim["gamma"]
+    R = _quat2rot(q)
+    dq = _hamilton(q, torch.cat([torch.zeros(1, dtype=x.dtype), _rates_w(u, lim)])) / 2
+    dv = R.T @ torch.tensor([0.0, 0.0, -GRAVITY], dtype=x.dtype) + torch.stack(
+        [0 * gamma, 0 * gamma, gamma]
+    )
+    return torch.cat([R @ v, dq, dv])
+
+
+def _body_vel_y_head(x):
+    """(pos, eta[:2], q_e-free pieces) shared by the body-velocity models."""
+    pos, q, v = _split_norm(x)
+    roll, pitch = _quat2euler_rp(q)
+    return pos, q, v, torch.stack([roll, pitch])
+
+
+def rates_y(x, u, q_d, lim):
+    pos, q, v, eta2 = _body_vel_y_head(x)
+    q_inv = q * torch.tensor([1.0, -1, -1, -1], dtype=q.dtype) / torch.linalg.norm(q)
+    q_e = _hamilton(q_d, q_inv)
+    return torch.cat([pos, eta2, q_e[3:4], _quat2rot(q) @ v, _rates_w(u, lim)])
+
+
+def rates_yN(x, q_d, flag, gated):
+    pos, q, v, eta2 = _body_vel_y_head(x)
+    q_inv = q * torch.tensor([1.0, -1, -1, -1], dtype=q.dtype) / torch.linalg.norm(q)
+    q_e = _hamilton(q_d, q_inv)
+    return torch.cat([pos, eta2, q_e[3:4], _quat2rot(q) @ v])
+
+
+# ---------------------------------------------------------------------------
+# wrench model (reference model/quad_wrench.py:20-48): nx=13 (p, q, v_body,
+# w), inputs (gamma, inertia-normalized torques); translational dynamics as
+# rates; dw = torques - cross(w, w) (the gyroscopic term is identically zero
+# — reference quirk kept, quad_wrench.py:38); y = yN = (p, eta[:2], q_e[3],
+# R v, w), ny = nyN = 12.  Factory-dead in the reference (gen_model.py:19).
+# ---------------------------------------------------------------------------
+
+
+def wrench_f(x, u, lim):
+    _, q, v, w = _props_split(x)
+    gamma = u[0] * lim["gamma"]
+    torques = u[1:] * lim["torques"]
+    R = _quat2rot(q)
+    dq = _hamilton(q, torch.cat([torch.zeros(1, dtype=x.dtype), w])) / 2
+    dv = R.T @ torch.tensor([0.0, 0.0, -GRAVITY], dtype=x.dtype) + torch.stack(
+        [0 * gamma, 0 * gamma, gamma]
+    )
+    dw = torques - torch.linalg.cross(w, w)
+    return torch.cat([R @ v, dq, dv, dw])
+
+
+def wrench_y(x, u, q_d, lim):
+    pos, q, v, w = _props_split(x)
+    roll, pitch = _quat2euler_rp(q)
+    q_inv = q * torch.tensor([1.0, -1, -1, -1], dtype=q.dtype) / torch.linalg.norm(q)
+    q_e = _hamilton(q_d, q_inv)
+    return torch.cat([pos, torch.stack([roll, pitch]), q_e[3:4], _quat2rot(q) @ v, w])
+
+
+def wrench_yN(x, q_d, flag, gated):
+    return wrench_y(x, None, q_d, None)  # yN == y layout (no u terms)
+
+
+# ---------------------------------------------------------------------------
+# acc model (reference model/quad_acc.py:19-52): kinematic world-frame
+# integrator, inputs (normalized world acc, yawrate); y = (p, q_e[3], v, W_a,
+# wz) ny=11; terminal (p, q_e[3], v) nyN=7, flag-gated under
+# sdf+rec_feas+stability (quad_acc.py:43-47) like att.
+# ---------------------------------------------------------------------------
+
+
+def acc_f(x, u, lim):
+    _, q, v = _split_norm(x)
+    wz = u[3] * lim["wz"]
+    dq = _hamilton(q, torch.stack([0 * wz, 0 * wz, 0 * wz, wz])) / 2
+    W_a = torch.stack([u[0] * lim["ax"], u[1] * lim["ay"], u[2] * lim["az"]])
+    return torch.cat([v, dq, W_a])
+
+
+def acc_y(x, u, q_d, lim):
+    pos, q, v = _split_norm(x)
+    wz = u[3] * lim["wz"]
+    q_inv = q * torch.tensor([1.0, -1, -1, -1], dtype=q.dtype) / torch.linalg.norm(q)
+    q_e = _hamilton(q_d, q_inv)
+    W_a = torch.stack([u[0] * lim["ax"], u[1] * lim["ay"], u[2] * lim["az"]])
+    return torch.cat([pos, q_e[3:4], v, W_a, wz[None]])
+
+
+def acc_yN(x, q_d, flag, gated):
+    pos, q, v = _split_norm(x)
+    q_inv = q * torch.tensor([1.0, -1, -1, -1], dtype=q.dtype) / torch.linalg.norm(q)
+    q_e = _hamilton(q_d, q_inv)
+    out = torch.cat([pos, q_e[3:4], v])
+    return out * flag if gated else out
+
+
 ORACLE_MODELS = {
     "att": dict(
         f=lambda x, u, oc: att_f(x, u, oc.lim),
@@ -312,6 +425,24 @@ ORACLE_MODELS = {
         nx=10, ny=11,
     ),
     "props": dict(f=props_f, y=props_y, yN=props_yN, nx=13, ny=16),
+    "rates": dict(
+        f=lambda x, u, oc: rates_f(x, u, oc.lim),
+        y=lambda x, u, q_d, oc: rates_y(x, u, q_d, oc.lim),
+        yN=lambda x, q_d, flag, gated, oc: rates_yN(x, q_d, flag, gated),
+        nx=10, ny=12,
+    ),
+    "wrench": dict(
+        f=lambda x, u, oc: wrench_f(x, u, oc.lim),
+        y=lambda x, u, q_d, oc: wrench_y(x, u, q_d, oc.lim),
+        yN=lambda x, q_d, flag, gated, oc: wrench_yN(x, q_d, flag, gated),
+        nx=13, ny=12,
+    ),
+    "acc": dict(
+        f=lambda x, u, oc: acc_f(x, u, oc.lim),
+        y=lambda x, u, q_d, oc: acc_y(x, u, q_d, oc.lim),
+        yN=lambda x, q_d, flag, gated, oc: acc_yN(x, q_d, flag, gated),
+        nx=10, ny=11,
+    ),
 }
 
 
@@ -441,7 +572,8 @@ class OracleOcp:
 def build_oracle_ocp(cfg, flax_params=None, sdf_max_df=1.0, bdist_coeffs=None,
                      sdf_proj="pos", sdf_w0=1.0, sdf_nb_freqs=5):
     lim = {k: float(getattr(cfg.robot.limits, k)) for k in (
-        "gamma", "roll", "pitch", "wz", "vx", "vy", "vz", "wp")}
+        "gamma", "roll", "pitch", "wz", "vx", "vy", "vz", "wp",
+        "wx", "wy", "ax", "ay", "az", "torques")}
     if cfg.mpc.uniform_dt:
         nodes = np.linspace(0.0, cfg.mpc.T, cfg.mpc.N + 1)
     else:
@@ -469,7 +601,11 @@ def build_oracle_ocp(cfg, flax_params=None, sdf_max_df=1.0, bdist_coeffs=None,
         u_hover = np.full(4, model_consts["wh"] / lim["wp"])
         lbu = np.zeros(4)
         ubu = np.ones(4)
-    else:
+    elif model == "acc":
+        u_hover = np.zeros(4)
+        lbu = np.array([-1.0, -1, -1, -1])
+        ubu = np.array([1.0, 1, 1, 1])
+    else:  # att, att_tau, rates: normalized hover thrust + zero rates
         u_hover = np.array([GRAVITY / lim["gamma"], 0, 0, 0])
         lbu = np.array([0.0, -1, -1, -1])
         ubu = np.array([1.0, 1, 1, 1])
@@ -828,15 +964,59 @@ def solve_slack_qp(H, g, C, c0, lo, up, z1, z2, lb, ub):
         viol_up = np.maximum(c0 - up, 0.0)
         w0[nz : nz + nc] = viol_lo
         w0[nz + nc :] = viol_up
-    r = minimize(
-        fun,
-        w0,
-        jac=jac,
-        hess=hess,
-        bounds=bounds,
-        constraints=constraints,
-        method="trust-constr",
-        options=dict(gtol=1e-12, xtol=1e-14, maxiter=3000, verbose=0),
-    )
-    assert r.optimality < 1e-6, f"oracle QP did not converge: {r.optimality}"
-    return r.x[:nz], {"optimality": float(r.optimality)}
+    r = None
+    for _attempt in range(3):  # warm-restart: trust-constr can stall with a
+        r = minimize(          # collapsed trust region on badly-scaled QPs
+            fun,               # (e.g. the wrench hover-outside-the-box start)
+            w0,
+            jac=jac,
+            hess=hess,
+            bounds=bounds,
+            constraints=constraints,
+            method="trust-constr",
+            options=dict(gtol=1e-12, xtol=1e-14, maxiter=3000, verbose=0),
+        )
+        if r.optimality < 1e-6:
+            break
+        w0 = r.x
+    opt = float(r.optimality)
+    w = r.x
+    if opt >= 1e-6:
+        # exact active-set KKT polish: trust-constr can stall with a collapsed
+        # trust region on badly-scaled QPs (the wrench model's hover-outside-
+        # the-box warm start).  Identify the active set from its iterate,
+        # solve the equality-constrained KKT system exactly, and accept only
+        # if the polished point is primal feasible with correctly-signed
+        # multipliers — otherwise keep the (asserted-on) trust-constr point.
+        G_rows, h_rows = [], []
+        eye = np.eye(n)
+        lo_all = np.concatenate([lb, np.zeros(2 * nc)])
+        up_all = np.concatenate([ub, np.full(2 * nc, np.inf)])
+        for j in range(n):
+            G_rows.append(eye[j]); h_rows.append(lo_all[j])        # w_j >= lo
+            if np.isfinite(up_all[j]):
+                G_rows.append(-eye[j]); h_rows.append(-up_all[j])  # w_j <= up
+        if nc:
+            for i in range(nc):
+                G_rows.append(Aeq[i]); h_rows.append(lo[i] - c0[i])
+                G_rows.append(-Aeq[nc + i]); h_rows.append(-(up[i] - c0[i]))
+        G = np.asarray(G_rows)
+        h = np.asarray(h_rows)
+        for tol_act in (1e-4, 1e-5, 1e-6):
+            act = (G @ w - h) < tol_act
+            Ga, ha = G[act], h[act]
+            na = int(act.sum())
+            K = np.zeros((n + na, n + na))
+            K[:n, :n] = P
+            K[:n, n:] = -Ga.T
+            K[n:, :n] = Ga
+            rhs = np.concatenate([-q, ha])
+            sol, *_ = np.linalg.lstsq(K, rhs, rcond=None)
+            wp_, lam = sol[:n], sol[n:]
+            feas = (G @ wp_ - h).min() if len(h) else 0.0
+            stat = np.abs(P @ wp_ + q - Ga.T @ lam).max() if na else np.abs(P @ wp_ + q).max()
+            if feas > -1e-8 and lam.min() > -1e-7 and stat < 1e-7:
+                w, opt = wp_, float(stat)
+                break
+    assert opt < 1e-6, f"oracle QP did not converge: {opt}"
+    return w[:nz], {"optimality": opt}

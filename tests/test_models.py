@@ -40,11 +40,9 @@ def test_hover_equilibrium(cfg, name):
     xdot = np.asarray(model.f(x, jnp.asarray(model.u_hover)))
     if name == "acc":
         np.testing.assert_allclose(xdot, 0.0, atol=1e-6)
-    elif name == "wrench":
-        # reference u_hover for wrench is un-normalized gamma=g (quad_wrench.py:29):
-        # the acceleration residual reflects that quirk; just check kinematics
-        np.testing.assert_allclose(xdot[:7], 0.0, atol=1e-6)
     else:
+        # wrench included: its hover is normalized g/gamma now (the raw-g
+        # reference quirk of quad_wrench.py:28 is intent-fixed like props)
         np.testing.assert_allclose(xdot, 0.0, atol=1e-5)
 
 
