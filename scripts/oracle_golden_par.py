@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """Parallel regeneration of the independent-oracle goldens.
 
-scripts/oracle_golden.py is sequential (~3 h CPU for the full set: 32 sdf +
-32 nosdf + 8 recfeas + 8 tau + 8 props + 8 n40 scipy trust-constr solves).
+scripts/oracle_golden.py is sequential (hours of CPU for the full set: 32 sdf
++ 32 nosdf + 8 recfeas + 8 each tau/props/rates/wrench/acc + 8 n40 scipy
+trust-constr solves).
 The scenarios are independent, so this driver shards each variant's scenario
 range over worker processes, collects the per-shard npz files, and assembles
 tests/golden/oracle_u0.npz in one atomic write.
