@@ -306,7 +306,7 @@ def main():
     print(f"# device(s): {[str(d) for d in jax.devices()][:4]} ...")
     for a in picks:
         # "5:4096" passes a numeric first argument (config5 per-device batch,
-        # config7 total) — VERDICT r4: config5 is honest only at a
+        # config7 total) — VERDICT r3: config5 is honest only at a
         # compute-bound per-device batch
         p, _, arg = a.partition(":")
         fns[int(p)](*([int(arg)] if arg else []))

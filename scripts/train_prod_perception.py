@@ -268,6 +268,10 @@ def stage_save(args):
         pipeline="h5+augment+composite",  # the framework engine, not train_latent_sdf
         loss="sign-weighted regression + grad MSE + direction + eikonal (50/0/1:60/5)",
         vae_epochs=args.vae_epochs, df_epochs=args.df_epochs,
+        pose_mode=args.pose_mode, poses=args.poses,
+        df_lr=args.df_lr, df_lr_steps=args.df_lr_steps,
+        points_per_img=args.points_per_img,
+        df_ckpt_epoch=getattr(args, "df_ckpt_epoch", None),
     )
     mf = out / "meta.json"
     if mf.exists():  # keep stats from a previous eval stage

@@ -204,9 +204,10 @@ def make_rti_step(ocp: OcpSpec, cfg, with_evals: bool = True,
                  floor is measured by the fixed-state replay testbed
                  (scripts/warm_testbed.py, docs/performance.md).
       "steady" -- cfg.solver.qp_iters_steady (+ qp_stiff_iters_steady) when
-                 set, else 15 iterations / 6 stiff (the on-hw trained-weights
-                 replay floor; falls back to the warm budget only under
-                 recursive_feasibility).  The replay testbed shows the early
+                 set, else 15 iterations / 4 stiff (the on-hw trained-weights
+                 replay floor, retuned from 15/6 in round 4 — see
+                 resolve_stiff_knobs and the "auto" branch below; falls back
+                 to the warm budget only under recursive_feasibility).  The replay testbed shows the early
                  post-cold ticks (1-3) dominate the warm error while steady
                  ticks converge in noticeably fewer iterations; the
                  controller promotes to this budget after

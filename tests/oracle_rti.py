@@ -605,7 +605,9 @@ def build_oracle_ocp(cfg, flax_params=None, sdf_max_df=1.0, bdist_coeffs=None,
         u_hover = np.zeros(4)
         lbu = np.array([-1.0, -1, -1, -1])
         ubu = np.array([1.0, 1, 1, 1])
-    else:  # att, att_tau, rates: normalized hover thrust + zero rates
+    else:  # att, att_tau, rates, wrench: normalized hover thrust + zero
+        # rates (wrench lands here intentionally after the hover intent-fix
+        # — reference quad_wrench.py:28 stores RAW g against the [0,1] box)
         u_hover = np.array([GRAVITY / lim["gamma"], 0, 0, 0])
         lbu = np.array([0.0, -1, -1, -1])
         ubu = np.array([1.0, 1, 1, 1])
@@ -1015,7 +1017,13 @@ def solve_slack_qp(H, g, C, c0, lo, up, z1, z2, lb, ub):
             wp_, lam = sol[:n], sol[n:]
             feas = (G @ wp_ - h).min() if len(h) else 0.0
             stat = np.abs(P @ wp_ + q - Ga.T @ lam).max() if na else np.abs(P @ wp_ + q).max()
-            if feas > -1e-8 and lam.min() > -1e-7 and stat < 1e-7:
+            # complementarity: every row in the active-set guess must be TIGHT
+            # at the polished point, else lstsq on an over-included guess
+            # (tol_act can pull in near-active rows) may return a point where
+            # a positively-weighted row is strictly inactive and the three
+            # checks above still pass (advisor r4).
+            tight = np.abs(Ga @ wp_ - ha).max() if na else 0.0
+            if feas > -1e-8 and lam.min() > -1e-7 and stat < 1e-7 and tight < 1e-8:
                 w, opt = wp_, float(stat)
                 break
     assert opt < 1e-6, f"oracle QP did not converge: {opt}"
