@@ -31,6 +31,15 @@ N_SCEN = 32
 LATENT = 128
 LAYERS = (256, 256, 256, 256)
 
+# BASELINE config 3 contract (VERDICT r4 item 4): the f32 on-hardware
+# render -> VAE-encode -> solve pipeline must match a CPU f64
+# render -> encode -> solve oracle to <=1e-3 on u0.  Unlike the workload
+# above (pre-encoded stored latents), this puts the ENCODER inside the
+# numeric contract — the last previously-ungated segment of the
+# image -> command path (reference vae.py:37-44 + controller.py:50-61).
+CONFIG3_NPZ = REF_NPZ.parent / "config3_u0.npz"
+CONFIG3_SCEN = 8
+
 
 def sdf_net():
     """(module, variables) for the workload's NeuralDF: the trained
@@ -209,6 +218,139 @@ def save_reference():
     REF_NPZ.parent.mkdir(parents=True, exist_ok=True)
     np.savez(REF_NPZ, u0=u0)
     return REF_NPZ
+
+
+def _config3_scenes(n: int = CONFIG3_SCEN):
+    """n deterministic blocking scenes (2 spheres each, so the Scene pytrees
+    stack and the whole contract vmaps), stacked along a scenario axis.
+
+    One sphere blocks the corridor toward the goal, one is clutter —
+    the same family the perception training/eval scenes use."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..sim import Scene
+
+    rng = np.random.default_rng(7)
+    scenes = []
+    for _ in range(n):
+        c1 = [1.6 + rng.uniform(0.0, 1.2), rng.uniform(-0.35, 0.35),
+              rng.uniform(-0.25, 0.25)]
+        r1 = rng.uniform(0.3, 0.5)
+        c2 = [rng.uniform(2.2, 3.4), rng.uniform(-1.2, 1.2),
+              rng.uniform(-0.5, 0.5)]
+        r2 = rng.uniform(0.25, 0.45)
+        scenes.append(Scene.make(spheres=[(c1, r1), (c2, r2)]))
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *scenes)
+
+
+def solve_config3_batch(dtype_cfg=None, n: int = None):
+    """BASELINE config 3 under ONE jit: render(scene) -> encode -> solve,
+    vmapped over CONFIG3_SCEN scenarios.  Returns (u0, status).
+
+    Requires the trained production encoder (weights/) at the configured
+    sensor resolution — raises RuntimeError otherwise (the contract is
+    meaningless for a random-init encoder)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..nn.weights import load_prod_encoder
+    from ..ref_gen import Ref
+    from ..sim import render_range_image
+    from ..solver import SolveInputs, init_state, make_rti_step
+
+    cfg, ocp, layout = build_setup(dtype_cfg)
+    H, W = (int(v) for v in cfg.sensor.shape_imgs[-2:])
+    loaded = load_prod_encoder(expect_img=(H, W), strict=True)
+    if loaded is None:
+        raise RuntimeError(
+            "config3 accuracy contract needs the trained production encoder "
+            "in weights/ at the configured sensor resolution"
+        )
+    enc, enc_vars, _meta = loaded
+    f64 = (dtype_cfg or {}).get("dtype") == "float64"
+    dt = jnp.float64 if f64 else jnp.float32
+    if f64:
+        enc_vars = jax.tree.map(
+            lambda a: a.astype(jnp.float64)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+            else a,
+            enc_vars,
+        )
+    hfov, vfov = float(cfg.sensor.hfov), float(cfg.sensor.vfov)
+    dmax = float(cfg.sensor.dmax)
+
+    scenes = _config3_scenes(CONFIG3_SCEN)
+    scenes = jax.tree.map(lambda a: jnp.asarray(a, dt), scenes)
+    n_scen = n or CONFIG3_SCEN
+    scenes = jax.tree.map(lambda a: a[:n_scen], scenes)
+
+    rng = np.random.default_rng(3)
+    N = ocp.N
+    x0s, ps, yrs, Ws = [], [], [], []
+    for _ in range(n_scen):
+        x0 = np.zeros(ocp.nx)
+        x0[3] = 1.0
+        x0[:3] = rng.normal(size=3) * 0.2  # near the camera pose
+        x0[7:10] = rng.normal(size=3) * 0.3
+        if ocp.nx > 10:
+            x0[10:] = rng.normal(size=ocp.nx - 10) * 0.1
+        p = np.zeros((N + 1, layout.np_total))
+        layout.set_flag(p, 1.0)
+        layout.set_camera(p, np.zeros(3), np.eye(3))  # image rendered here
+        layout.set_q_d(p, [1, 0, 0, 0])
+        ref = Ref(cfg).use_constrained_weights(True)
+        ref.p = np.array([3.5, 0.0, 0.0])  # goal past the blocking sphere
+        yr, Wrow = ocp.pack_ref(ref)
+        x0s.append(x0); ps.append(p); yrs.append(yr); Ws.append(Wrow)
+    x0s = jnp.asarray(np.stack(x0s), dt)
+    ps = jnp.asarray(np.stack(ps), dt)
+    yrs, Ws = np.stack(yrs), np.stack(Ws)
+    inputs = SolveInputs(
+        x0=x0s,
+        yref=jnp.asarray(np.tile(yrs[:, None], (1, N, 1)), dt),
+        W=jnp.asarray(np.tile(Ws[:, None], (1, N, 1)), dt),
+        yrefN=jnp.asarray(yrs[:, : ocp.nyN], dt),
+        WN=jnp.asarray(Ws[:, : ocp.nyN], dt),
+        p=ps,
+    )
+    states = jax.vmap(lambda x: init_state(ocp, x, dt))(x0s)
+    step = make_rti_step(ocp, cfg, with_evals=False)
+    lat_start = layout.latent_start
+
+    def one(scene, state, inp):
+        img = render_range_image(
+            scene, jnp.zeros(3, dt), jnp.eye(3, dtype=dt),
+            H, W, hfov, vfov, dmax,
+        )
+        latent = enc.apply(enc_vars, img[None, :, :, None].astype(dt))[0]
+        p = inp.p.at[:, lat_start:].set(latent[None, :].astype(dt))
+        return step(state, inp._replace(p=p))
+
+    res = jax.jit(jax.vmap(one))(scenes, states, inputs)
+    return np.asarray(res.u0, np.float64), np.asarray(res.status)
+
+
+def save_config3_reference():
+    """CPU f64/40-iter render->encode->solve oracle -> tests/golden/."""
+    u0, status = solve_config3_batch(dict(dtype="float64", qp_iters=40))
+    assert (status == 0).all(), status
+    CONFIG3_NPZ.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(CONFIG3_NPZ, u0=u0)
+    return CONFIG3_NPZ
+
+
+def check_config3_accuracy():
+    """Production f32 render->encode->solve vs the checked-in f64 oracle."""
+    ref = np.load(CONFIG3_NPZ)["u0"]
+    u0, status = solve_config3_batch()
+    err = np.abs(u0 - ref).max(axis=1)
+    return {
+        "u0_max_err": float(err.max()),
+        "u0_mean_err": float(err.mean()),
+        "n_ok": int((status == 0).sum()),
+        "n_scen": int(u0.shape[0]),
+    }
 
 
 def check_accuracy():

@@ -170,3 +170,18 @@ def test_riccati_regime_contract_on_hardware():
     assert (status == 0).all()
     err = np.abs(u0 - gold["n40_u0"]).max()
     assert err <= 1e-3, f"n40 riccati on-hw vs oracle {err:.2e}"
+
+
+def test_config3_encoder_in_the_loop_contract_on_hardware():
+    """BASELINE config 3 with the ENCODER inside the contract (VERDICT r4
+    item 4): the f32 on-hw render -> trained-VAE encode -> solve pipeline
+    must match the CPU f64 render -> encode -> solve oracle to <=1e-3 — the
+    last previously-ungated segment of the image -> command path (reference
+    vae.py:37-44, controller.py:50-61)."""
+    from sdf_nmpc_tpu.utils import accuracy
+
+    if not accuracy.CONFIG3_NPZ.exists():
+        pytest.skip("config3 oracle not generated (scripts/accuracy_tpu.py ref3)")
+    out = accuracy.check_config3_accuracy()
+    assert out["n_ok"] == out["n_scen"], out
+    assert out["u0_max_err"] <= 1e-3, out
