@@ -269,14 +269,18 @@ def _ip_phase_kernel(
      # ---- factor + predictor solve (+ Woodbury set) ----
      if "nochol" not in ablate:
          _chol_lanes_blocked(A_scr, nz)
-     X_scr[0, :, :] = rhs_aff  # borrow X as the rhs staging buffer
-     if "nosolve" not in ablate:
-         _tri_solve_lanes_blocked(A_scr, X_scr, nz)
      if k_s > 0:
-         Xs_scr[...] = Cs_scr[...]
+         # one (k_s + 1)-RHS blocked tri-solve instead of a 1-RHS pass for
+         # the predictor rhs plus a k_s-RHS pass for the Woodbury columns:
+         # the diagonal-block recursion and the A-panel reads are shared
+         # across RHS rows, so the predictor rhs rides the Woodbury solve
+         # for free (r5 stiff-iteration lever, docs/performance.md go (a))
+         Xs_scr[0:k_s, :, :] = Cs_scr[0:k_s, :, :]
+         Xs_scr[k_s, :, :] = rhs_aff
          if "nosolve" not in ablate:
              _tri_solve_lanes_blocked(A_scr, Xs_scr, nz)
-         Xs = Xs_scr[...]
+         XC = Xs_scr[...]
+         Xs = XC[:k_s]
          Cs = Cs_scr[...]
          for ks_i in range(k_s):
              Lt_scr[ks_i, :, :] = jnp.sum(Cs[ks_i][None] * Xs, axis=1)
@@ -298,7 +302,7 @@ def _ip_phase_kernel(
              )[0]
 
          adz_raw = _wood_correct(
-             Lt_scr[...], Cs, Xs, X_scr[...], nz, k_s, 1
+             Lt_scr[...], Cs, Xs, XC[k_s : k_s + 1], nz, k_s, 1
          )[0]
      else:
 
@@ -308,6 +312,9 @@ def _ip_phase_kernel(
                  _tri_solve_lanes_blocked(A_scr, X_scr, nz)
              return X_scr[0, :, :]
 
+         X_scr[0, :, :] = rhs_aff
+         if "nosolve" not in ablate:
+             _tri_solve_lanes_blocked(A_scr, X_scr, nz)
          adz_raw = X_scr[0, :, :]
 
      adz = jnp.where(
@@ -482,7 +489,8 @@ def ip_phase_lanes(data, state, k_s: int, n_iters: int, it0: int, consts,
             pltpu.VMEM((nz, nz, LANES), jnp.float32),  # A / L
             pltpu.VMEM((1, nz, LANES), jnp.float32),  # X staging
             pltpu.VMEM((ks_pad, nz, LANES), jnp.float32),  # Cs
-            pltpu.VMEM((ks_pad, nz, LANES), jnp.float32),  # Xs
+            # +1 row: the predictor rhs rides the Woodbury multi-RHS solve
+            pltpu.VMEM((ks_pad + 1, nz, LANES), jnp.float32),  # [Xs; x_aff]
             pltpu.VMEM((ks_pad, ks_pad, LANES), jnp.float32),  # T / Lt
         ],
         compiler_params=_COMPILER_PARAMS,
