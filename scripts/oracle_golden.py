@@ -163,18 +163,29 @@ def main():
 
     if mode == "warm":
         # oracle ticks from the CAPTURED warm states (tests/golden/
-        # warm_ref.npz): feed each (X, U, x0) into rti_tick and pin the
+        # warm_ref*.npz): feed each (X, U, x0) into rti_tick and pin the
         # oracle's u0 — closes the last self-referential golden (the warm
-        # u0_ref was previously validated only against the framework itself)
+        # u0_ref was previously validated only against the framework itself).
+        # Optional second arg: model family (att_tau/props/rates/wrench/acc)
+        # -> oracle_warm_u0_<model>.npz from warm_ref_<model>.npz; the
+        # default att keeps the original fixture names and the denser
+        # 8-scenario x 3-tick grid (advisor r4: warm coverage was att-only).
         import oracle_rti as orc
 
-        cap = np.load(GOLD.parent / "warm_ref.npz")
-        cfg, ocp, layout = accuracy.build_setup()
+        model = sys.argv[2] if len(sys.argv) > 2 else None
+        cap = np.load(accuracy.warm_npz_path(model))
+        cfg, ocp, layout = accuracy.build_setup(model=model)
         scen = accuracy.build_scenarios(cfg, ocp, layout)
         oc = orc.build_oracle_ocp(cfg, flax_params=_flax_params(), sdf_max_df=1.0,
                                   **_sdf_kw())
-        scen_idx = list(range(0, accuracy.WARM_SCEN, 2))  # 8 of 16 scenarios
-        tick_idx = [1, 4, 7]  # early-warm, mid, steady
+        if model in (None, "att"):
+            scen_idx = list(range(0, accuracy.WARM_SCEN, 2))  # 8 of 16
+            tick_idx = [1, 4, 7]  # early-warm, mid, steady
+            out_npz = GOLD.parent / "oracle_warm_u0.npz"
+        else:
+            scen_idx = list(range(0, accuracy.WARM_SCEN, 4))  # 4 of 16
+            tick_idx = [1, 7]  # early-warm, steady
+            out_npz = GOLD.parent / f"oracle_warm_u0_{model}.npz"
         u0 = np.zeros((len(scen_idx), len(tick_idx), 4))
         gap = np.zeros((len(scen_idx), len(tick_idx)))
         for a, s in enumerate(scen_idx):
@@ -189,10 +200,10 @@ def main():
                 print(f"  scen {s} tick {t}: oracle-vs-capture {gap[a, b]:.2e}",
                       flush=True)
         np.savez(
-            GOLD.parent / "oracle_warm_u0.npz",
+            out_npz,
             u0=u0, scen_idx=np.asarray(scen_idx), tick_idx=np.asarray(tick_idx),
         )
-        print(f"worst oracle-vs-capture gap {gap.max():.2e} -> oracle_warm_u0.npz")
+        print(f"worst oracle-vs-capture gap {gap.max():.2e} -> {out_npz.name}")
         return
 
     raise SystemExit(f"unknown mode {mode!r}")

@@ -14,5 +14,11 @@ echo "== oracle goldens, all six model families =="
 python scripts/oracle_golden_par.py --workers "${WORKERS:-2}"
 echo "== oracle warm ticks (att) =="
 python scripts/oracle_golden.py warm
+# per-family warm anchors (advisor r4); WARM_FAMILIES="" skips
+for m in ${WARM_FAMILIES-att_tau props rates wrench acc}; do
+    echo "== warm capture + oracle ticks ($m) =="
+    python scripts/warm_testbed.py ref "$m"
+    python scripts/oracle_golden.py warm "$m"
+done
 echo "== done; spot-check =="
 ls -la tests/golden/

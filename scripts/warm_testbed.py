@@ -29,7 +29,10 @@ def main():
     from sdf_nmpc_tpu.utils import accuracy
 
     if mode == "ref":
-        path = accuracy.save_warm_reference()
+        # optional second arg: model family (att_tau/props/rates/wrench/acc)
+        # -> tests/golden/warm_ref_<model>.npz for the per-family warm oracle
+        model = sys.argv[2] if len(sys.argv) > 2 else None
+        path = accuracy.save_warm_reference(model)
         print(f"warm-state reference saved -> {path}")
         return
 

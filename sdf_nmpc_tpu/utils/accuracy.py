@@ -386,7 +386,15 @@ WARM_TICKS = 8
 WARM_SCEN = 16
 
 
-def _capture_warm_reference():
+def warm_npz_path(model: str = None) -> Path:
+    """Captured-warm-states fixture path; the default att family keeps the
+    original warm_ref.npz, other families get warm_ref_<model>.npz."""
+    if model in (None, "att"):
+        return WARM_NPZ
+    return WARM_NPZ.parent / f"warm_ref_{model}.npz"
+
+
+def _capture_warm_reference(model: str = None):
     """CPU f64/40-iter closed loop; returns the captured tick tensors."""
     import jax
     import jax.numpy as jnp
@@ -394,7 +402,8 @@ def _capture_warm_reference():
     from ..solver import SolveInputs, init_state, make_rti_step
     from ..solver.integrator import erk4
 
-    cfg, ocp, layout = build_setup(dict(dtype="float64", qp_iters=40))
+    cfg, ocp, layout = build_setup(dict(dtype="float64", qp_iters=40),
+                                   model=model)
     step = jax.jit(jax.vmap(make_rti_step(ocp, cfg, with_evals=False)))
     N = ocp.N
     scen = build_scenarios(cfg, ocp, layout)[:WARM_SCEN]
@@ -436,12 +445,13 @@ def _capture_warm_reference():
     return {k: np.stack(v).swapaxes(0, 1) for k, v in cap.items()}
 
 
-def save_warm_reference():
-    """Capture the f64 warm-state reference -> tests/golden/warm_ref.npz."""
-    cap = _capture_warm_reference()
-    WARM_NPZ.parent.mkdir(parents=True, exist_ok=True)
-    np.savez(WARM_NPZ, **cap)
-    return WARM_NPZ
+def save_warm_reference(model: str = None):
+    """Capture the f64 warm-state reference -> tests/golden/warm_ref*.npz."""
+    cap = _capture_warm_reference(model)
+    path = warm_npz_path(model)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(path, **cap)
+    return path
 
 
 def check_warm_accuracy(solver_over=None, budget: str = "warm",
